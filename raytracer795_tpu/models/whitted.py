@@ -1,0 +1,285 @@
+"""Whitted integrator as an iterative masked-lane machine.
+
+The reference shades by recursion (Scene::RecursiveShading,
+src/Scene.cpp:148-219): mirror/conductor spawn one child ray, dielectrics
+split into a reflected and a refracted child weighted by Fresnel, Beer's law
+attenuates the segment inside the medium, and every surface event except a
+dielectric exit also emits direct lighting (BasicShading).
+
+TPU-native equivalent: every pixel-sample is a lane carrying one current ray
+plus a small per-lane stack of deferred branch rays ([N, D] arrays, D =
+max recursion depth). One `lax.while_loop` iteration intersects ALL current
+rays as a wavefront, accumulates emissions into the lane's radiance with the
+running throughput, and either continues the lane with a child ray, pops a
+deferred ray, or retires the lane. The loop ends when every lane is idle —
+total iterations equal the deepest lane's ray-tree size, and every iteration
+is fully vectorized (no per-ray recursion, no divergence beyond lane masks).
+
+Event table (depth = remaining recursion budget at the hit):
+  miss, primary lane        -> emit background (src/Scene.cpp:378-381)
+  miss, secondary lane      -> emit nothing    (src/Scene.cpp:150-153)
+  ReplaceAll decal, primary -> emit texture color (src/Scene.cpp:232-234)
+  Normal mat or depth <= 0  -> emit BasicShading; retire (src/Scene.cpp:155-157)
+  Mirror                    -> emit BasicShading; continue reflect * mirrorRef
+  Conductor                 -> emit BasicShading; continue reflect * mirrorRef * F
+  Dielectric enter          -> emit BasicShading; continue refract * (1-F) with
+                               Beer sigma; push reflect * F
+  Dielectric exit, TIR      -> continue reflect with Beer sigma (no emission)
+  Dielectric exit, no TIR   -> continue refract * (1-F); push reflect * F with
+                               Beer sigma (no emission)
+
+Beer handling: the child's first segment length is unknown until the NEXT
+iteration's trace, so each lane carries the active absorption coefficient and
+throughput is multiplied by exp(-sigma * t) right after its segment resolves
+— algebraically identical to the reference's beer-on-subtree factor
+(src/Scene.cpp:108-117,170-207). Deviation (documented): on dielectric-exit
+events the reference attenuates the INTERNAL reflected branch by the length
+of the *refracted* segment (src/Scene.cpp:110 computes beerDistance from the
+refraction ray for both branches); we use the reflected branch's own segment
+length, which is the physically consistent reading.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from raytracer795_tpu.models.lights import ShadePoint, direct_lighting
+from raytracer795_tpu.ops import intersect
+from raytracer795_tpu.ops.texture import apply_textures
+from raytracer795_tpu.scene import types as T
+from raytracer795_tpu.utils.vecmath import (dot, normalize, orthonormal_u,
+                                            reflect, scrub_nan)
+
+
+class _State(NamedTuple):
+    it: jnp.ndarray             # scalar int32 iteration counter
+    active: jnp.ndarray         # [N] lane has a current ray
+    is_primary: jnp.ndarray     # [N] current ray is the camera ray
+    o: jnp.ndarray              # [N, 3]
+    d: jnp.ndarray              # [N, 3]
+    time: jnp.ndarray           # [N]
+    tput: jnp.ndarray           # [N, 3]
+    depth: jnp.ndarray          # [N] remaining recursion budget
+    sigma: jnp.ndarray          # [N, 3] Beer coefficient of current segment
+    radiance: jnp.ndarray       # [N, 3] accumulator
+    # per-lane stacks
+    sp: jnp.ndarray             # [N]
+    st_o: jnp.ndarray           # [N, D, 3]
+    st_d: jnp.ndarray           # [N, D, 3]
+    st_tput: jnp.ndarray        # [N, D, 3]
+    st_depth: jnp.ndarray       # [N, D]
+    st_sigma: jnp.ndarray       # [N, D, 3]
+
+
+def _glossy_perturb(wr, roughness, is_rough, chi):
+    """Rough-mirror jitter (src/Scene.cpp:41-47)."""
+    u = orthonormal_u(wr)
+    v = jnp.cross(wr, u)
+    wr2 = normalize(wr + (u * chi[:, 0:1] + v * chi[:, 1:2]) * roughness[:, None])
+    return jnp.where(is_rough[:, None], wr2, wr)
+
+
+def _fresnel_dielectric(n_t, n_i, d, t_dir, no):
+    """Dielectric Fresnel (src/Scene.cpp:120-128)."""
+    cos_t = -dot(t_dir, no)
+    cos_i = -dot(d, no)
+    r_par = (n_t * cos_i - n_i * cos_t) / (n_t * cos_i + n_i * cos_t)
+    r_perp = (n_i * cos_i - n_t * cos_t) / (n_i * cos_i + n_t * cos_t)
+    return 0.5 * (r_par * r_par + r_perp * r_perp)
+
+
+def _conductor_fresnel(n_t, k_t, d, n):
+    """Conductor Fresnel (src/Scene.cpp:135-146)."""
+    cos_t = -dot(d, n)
+    two = 2.0 * n_t * cos_t
+    cos2 = cos_t * cos_t
+    nk2 = n_t * n_t + k_t * k_t
+    rs = (nk2 - two + cos2) / (nk2 + two + cos2)
+    rp = (nk2 * cos2 - two + 1.0) / (nk2 * cos2 + two + 1.0)
+    return 0.5 * (rs + rp)
+
+
+def render_rays(scene: T.Scene, rays: intersect.Rays,
+                bg_radiance: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    """Shade a batch of camera rays to radiance [N, 3]."""
+    N = rays.o.shape[0]
+    D = max(scene.max_depth, 1)
+    mats = scene.materials
+    vertex_normals = intersect.compute_vertex_normals(scene)
+
+    state = _State(
+        it=jnp.int32(0),
+        active=jnp.ones((N,), bool),
+        is_primary=jnp.ones((N,), bool),
+        o=rays.o, d=rays.d, time=rays.time,
+        tput=jnp.ones((N, 3)),
+        depth=jnp.full((N,), scene.max_depth, jnp.int32),
+        sigma=jnp.zeros((N, 3)),
+        radiance=jnp.zeros((N, 3)),
+        sp=jnp.zeros((N,), jnp.int32),
+        st_o=jnp.zeros((N, D, 3)), st_d=jnp.zeros((N, D, 3)),
+        st_tput=jnp.zeros((N, D, 3)), st_depth=jnp.zeros((N, D), jnp.int32),
+        st_sigma=jnp.zeros((N, D, 3)),
+    )
+
+    # Upper bound on iterations = max nodes of a depth-D binary split tree.
+    max_iters = min(2 ** (scene.max_depth + 1), 1024)
+
+    def cond(s: _State):
+        return (s.it < max_iters) & jnp.any(s.active | (s.sp > 0))
+
+    def body(s: _State) -> _State:
+        # ---- pop deferred rays into idle lanes ----
+        popping = (~s.active) & (s.sp > 0)
+        spi = jnp.maximum(s.sp - 1, 0)
+
+        def pick(st, cur):
+            got = jnp.take_along_axis(
+                st, spi[:, None, None] if st.ndim == 3 else spi[:, None],
+                axis=1)
+            got = got[:, 0] if st.ndim == 3 else got[:, 0]
+            m = popping[:, None] if cur.ndim == 2 else popping
+            return jnp.where(m, got, cur)
+
+        o = pick(s.st_o, s.o)
+        d = pick(s.st_d, s.d)
+        tput = pick(s.st_tput, s.tput)
+        depth = pick(s.st_depth, s.depth)
+        sigma = pick(s.st_sigma, s.sigma)
+        sp = jnp.where(popping, spi, s.sp)
+        active = s.active | popping
+
+        # ---- wavefront trace ----
+        wrays = intersect.Rays(o=o, d=d, time=s.time)
+        hit = intersect.trace(scene, wrays)
+        hit_valid = hit.valid & active
+        det = intersect.hit_details(scene, wrays, hit, vertex_normals)
+        det = det._replace(valid=hit_valid)
+        tex = apply_textures(scene, det)
+        normal = tex.normal
+
+        # Beer attenuation of the segment just resolved (world dirs are unit
+        # length so the segment length is t; src/Scene.cpp:110-115,130-133).
+        seg = jnp.exp(-sigma * jnp.where(hit_valid, hit.t, 0.0)[:, None])
+        tput = tput * seg
+
+        # ---- emissions ----
+        iter_key = jax.random.fold_in(key, s.it)
+        mat_idx = det.mat
+        mtype = mats.mtype[mat_idx]
+
+        # background for primary misses
+        miss_primary = active & ~hit_valid & s.is_primary
+        radiance = s.radiance + jnp.where(miss_primary[:, None],
+                                          bg_radiance, 0.0)
+
+        # ReplaceAll short-circuit on primary hits (src/Scene.cpp:232-234)
+        replace_all = hit_valid & s.is_primary & (tex.dm == T.DECAL_REPLACE_ALL)
+        radiance = radiance + jnp.where(replace_all[:, None],
+                                        tput * tex.tex_color, 0.0)
+
+        shading_lane = hit_valid & ~replace_all
+        as_normal = shading_lane & ((mtype == T.MAT_NORMAL) | (depth <= 0))
+        as_mirror = shading_lane & ~as_normal & (mtype == T.MAT_MIRROR)
+        as_conductor = shading_lane & ~as_normal & (mtype == T.MAT_CONDUCTOR)
+        as_dielectric = shading_lane & ~as_normal & (mtype == T.MAT_DIELECTRIC)
+
+        entering = dot(d, normal) < 0
+        emits = as_normal | as_mirror | as_conductor | (as_dielectric & entering)
+
+        sp_point = ShadePoint(
+            point=det.point, normal=normal, wo=-d, mat=mat_idx,
+            dm=tex.dm, tex_color=tex.tex_color, tex_norm=tex.tex_normalizer,
+            time=s.time, valid=emits,
+        )
+        basic = direct_lighting(scene, sp_point, iter_key)
+        radiance = radiance + scrub_nan(
+            jnp.where(emits[:, None], tput * basic, 0.0))
+
+        # ---- continuation rays ----
+        eps = scene.shadow_eps
+        chi = jax.random.uniform(jax.random.fold_in(iter_key, 7), (N, 2)) - 0.5
+        wr = reflect(d, normal)
+        wr = _glossy_perturb(wr, mats.roughness[mat_idx],
+                             mats.is_rough[mat_idx], chi)
+        refl_o = det.point + normal * eps      # src/Scene.cpp:50 (always +n)
+        f_cond = _conductor_fresnel(mats.refraction[mat_idx],
+                                    mats.absorption_index[mat_idx], d, normal)
+
+        # dielectric refraction (src/Scene.cpp:57-117)
+        nt = mats.refraction[mat_idx]
+        no = jnp.where(entering[:, None], normal, -normal)
+        snell = jnp.where(entering, 1.0 / nt, nt)
+        cos_i = -dot(d, no)
+        sqrt_part = 1.0 - snell * snell * (1.0 - cos_i * cos_i)
+        tir = sqrt_part < 0
+        t_dir = normalize((d + no * cos_i[:, None]) * snell[:, None]
+                          - no * jnp.sqrt(jnp.maximum(sqrt_part, 0.0))[:, None])
+        refr_o = det.point - eps * no
+        n_t = jnp.where(entering, nt, 1.0)
+        n_i = jnp.where(entering, 1.0, nt)
+        fr = _fresnel_dielectric(n_t, n_i, d, t_dir, no)
+        fr = jnp.where(tir, 1.0, fr)
+        absorb = mats.absorption_coef[mat_idx]
+
+        # mirror/conductor continuation
+        cont_reflect = as_mirror | as_conductor | (as_dielectric & ~entering & tir)
+        # dielectric-entering continues with refraction
+        cont_refract = as_dielectric & (entering | (~entering & ~tir))
+
+        new_o = jnp.where(cont_refract[:, None], refr_o, refl_o)
+        new_d = jnp.where(cont_refract[:, None], t_dir, wr)
+        mfac = mats.mirror[mat_idx]
+        w_mirror = jnp.where(as_conductor[:, None],
+                             mfac * f_cond[:, None], mfac)
+        w_tir = jnp.ones((N, 3))
+        w_next = jnp.where(cont_refract[:, None], (1.0 - fr)[:, None],
+                           jnp.where((as_dielectric & tir)[:, None], w_tir,
+                                     w_mirror))
+        sigma_next = jnp.where(
+            (as_dielectric & entering)[:, None], absorb,
+            jnp.where((as_dielectric & ~entering & tir)[:, None], absorb, 0.0))
+
+        continues = (cont_reflect | cont_refract)
+        # kill lanes whose continuation carries NaN (subtree contributes 0,
+        # mirroring NanCheck of src/Scene.cpp:221-228)
+        bad = jnp.any(jnp.isnan(new_d) | jnp.isnan(new_o), axis=-1) | \
+            jnp.any(jnp.isnan(tput), axis=-1)
+        continues = continues & ~bad
+
+        # ---- dielectric split: push the reflected branch ----
+        pushes = as_dielectric & ~tir & ~bad
+        push_tput = tput * fr[:, None]
+        push_sigma = jnp.where((~entering)[:, None],
+                               absorb, jnp.zeros((N, 3)))
+        slot = jnp.arange(D)[None, :] == sp[:, None]        # [N, D]
+        put = (slot & pushes[:, None])
+        st_o = jnp.where(put[..., None], refl_o[:, None, :], s.st_o)
+        st_d = jnp.where(put[..., None], wr[:, None, :], s.st_d)
+        st_tput = jnp.where(put[..., None], push_tput[:, None, :], s.st_tput)
+        st_depth = jnp.where(put, (depth - 1)[:, None], s.st_depth)
+        st_sigma = jnp.where(put[..., None], push_sigma[:, None, :], s.st_sigma)
+        sp = jnp.where(pushes & (sp < D), sp + 1, sp)
+
+        tput = tput * jnp.where(continues[:, None], w_next, 1.0)
+
+        return _State(
+            it=s.it + 1,
+            active=continues,
+            is_primary=s.is_primary & jnp.zeros_like(continues),
+            o=jnp.where(continues[:, None], new_o, o),
+            d=jnp.where(continues[:, None], new_d, d),
+            time=s.time,
+            tput=tput,
+            depth=jnp.where(continues, depth - 1, depth),
+            sigma=jnp.where(continues[:, None], sigma_next, sigma),
+            radiance=radiance,
+            sp=sp, st_o=st_o, st_d=st_d, st_tput=st_tput,
+            st_depth=st_depth, st_sigma=st_sigma,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final.radiance

@@ -1,0 +1,376 @@
+"""Wavefront intersection: ray batches vs the scene's trace groups.
+
+The reference's hot path (src/Helper.cpp:18-80 world dispatch →
+src/BVH.cpp:112-210 per-object BVH → src/Shape.cpp:113-155,347-398 primitive
+tests) becomes a two-phase vectorized pass per group:
+
+phase 1 (``trace``): t-only candidates for every (ray, primitive) pair,
+    reduced to the per-group and then global nearest hit. Pure VPU work.
+phase 2 (``hit_details``): geometric attributes (point, normal, bary, uv
+    inputs) recomputed only for each ray's single winning primitive.
+
+Semantics preserved from the reference:
+- triangle test accepts t >= -int_eps, beta/gamma >= -int_eps,
+  beta+gamma <= 1 (src/Shape.cpp:146-147);
+- sphere test requires discriminant >= int_eps (src/Shape.cpp:355-356) and
+  picks among the t1/t2 sign cases (src/Shape.cpp:365-388);
+- within an object the nearest hit is chosen by |local point - origin|
+  (src/BVH.cpp:165-171), i.e. by |t|; across objects world t must be > 0
+  (src/Helper.cpp:43);
+- rays containing NaN match nothing (src/Helper.cpp:28-30) — all comparisons
+  with NaN are False, so this falls out naturally;
+- transformed groups intersect in local space via M^-1 with the motion-blur
+  offset ``origin -= blur * time`` applied first (src/Helper.cpp:110-133);
+  the local-space ray is intentionally NOT renormalized so t is a shared
+  world/local parameter (src/Ray.cpp:21-40 gett recovers exactly this t).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from raytracer795_tpu.scene import types as T
+from raytracer795_tpu.utils.vecmath import (affine_apply, dot,
+                                            mat3_apply, normalize)
+
+_BIG = jnp.float32(3.0e38)
+
+# Primitive-chunk size for the t-pass: bounds the [N, CHUNK, 3] temporaries.
+_PRIM_CHUNK = 512
+
+
+class Rays(NamedTuple):
+    o: jnp.ndarray      # [N, 3]
+    d: jnp.ndarray      # [N, 3]
+    time: jnp.ndarray   # [N]
+
+
+class Hit(NamedTuple):
+    valid: jnp.ndarray      # [N] bool
+    t: jnp.ndarray          # [N] world-space ray parameter
+    group: jnp.ndarray      # [N] int32 index into scene.groups
+    prim: jnp.ndarray       # [N] int32 index within the group's prim kind
+    is_sphere: jnp.ndarray  # [N] bool
+
+
+class HitDetails(NamedTuple):
+    valid: jnp.ndarray
+    point: jnp.ndarray      # [N, 3] world
+    normal: jnp.ndarray     # [N, 3] LOCAL-space normal, normalized. Texture
+    #                           normal math runs in local space (the reference
+    #                           textures inside the BVH step, pre-transform);
+    #                           the world transform by (M^-1)^T is applied once
+    #                           after texturing (src/Helper.cpp:75-78).
+    mat: jnp.ndarray        # [N] int32
+    t: jnp.ndarray          # [N]
+    tex0: jnp.ndarray       # [N] int32 (-1 none)
+    tex1: jnp.ndarray       # [N] int32
+    uv: jnp.ndarray         # [N, 2] texture coordinates (tri bary / sphere)
+    # sphere-local quantities for texture TBN math (src/Shape.cpp:400-472)
+    local_point: jnp.ndarray    # [N, 3] hit point in group-local space
+    local_center: jnp.ndarray   # [N, 3] sphere center (local) or zeros
+    radius: jnp.ndarray         # [N]
+    # triangle quantities for TBN math (src/Shape.cpp:505-616)
+    tri_e1: jnp.ndarray     # [N, 3] b - a (local)
+    tri_e2: jnp.ndarray     # [N, 3] c - a (local)
+    tri_uv0: jnp.ndarray    # [N, 2]
+    tri_uv1: jnp.ndarray    # [N, 2]
+    tri_uv2: jnp.ndarray    # [N, 2]
+    is_sphere: jnp.ndarray  # [N] bool
+    minv_t: jnp.ndarray     # [N, 3, 3] normal transform of the hit group
+
+
+def _transform_rays(group: T.TraceGroup, rays: Rays) -> Rays:
+    """World ray -> group-local ray (src/Helper.cpp:110-133)."""
+    o = rays.o - group.blur[None, :] * rays.time[:, None]
+    if group.has_xform:
+        m = group.minv
+        o = affine_apply(m, o)
+        d = mat3_apply(m[:3, :3], rays.d)
+    else:
+        d = rays.d
+    return Rays(o=o, d=d, time=rays.time)
+
+
+def _bbox_pass(group: T.TraceGroup, local: Rays) -> jnp.ndarray:
+    """Slab test of each source object's root bbox: [N, O+1] bool.
+
+    Exact semantics of BVH::RayBBoxIntersection (src/BVH.cpp:212-266): per
+    axis, entry/exit picked by the sign of d (d == 0 falls into the negative
+    branch, producing +/-inf and rejecting the box — a reference quirk kept);
+    hit iff min(exits) >= max(entries). Column O is an always-true slot for
+    exempt primitives (single-leaf BVHs are never bbox-tested).
+    """
+    n_obj = group.obj_bbox.shape[0]
+    N = local.o.shape[0]
+    if n_obj == 0:
+        return jnp.ones((N, 1), bool)
+    bmin = group.obj_bbox[:, 0]                     # [O, 3]
+    bmax = group.obj_bbox[:, 1]
+    o = local.o[:, None, :]                         # [N, 1, 3]
+    d = local.d[:, None, :]
+    pos = d > 0
+    t_e = jnp.where(pos, (bmin[None] - o) / d, (bmax[None] - o) / d)
+    t_l = jnp.where(pos, (bmax[None] - o) / d, (bmin[None] - o) / d)
+    smallest_l = jnp.min(t_l, axis=-1)              # [N, O]
+    largest_e = jnp.max(t_e, axis=-1)
+    ok = ~(smallest_l < largest_e)
+    return jnp.concatenate([ok, jnp.ones((N, 1), bool)], axis=1)
+
+
+def _tri_candidates(scene: T.Scene, group: T.TraceGroup, local: Rays,
+                    bbox_ok: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Nearest triangle per ray: (|t|-ranked best t, prim index)."""
+    verts = scene.vertices
+    a = verts[group.tri_vidx[:, 0]]     # [T, 3]
+    b = verts[group.tri_vidx[:, 1]]
+    c = verts[group.tri_vidx[:, 2]]
+    e1 = a - b                          # [T, 3] (reference column a-b)
+    e2 = a - c
+    n_tris = group.n_tris
+    int_eps = scene.int_eps
+
+    o, d = local.o, local.d             # [N, 3]
+    N = o.shape[0]
+    best_key = jnp.full((N,), _BIG)
+    best_t = jnp.zeros((N,))
+    best_idx = jnp.zeros((N,), jnp.int32)
+
+    for start in range(0, n_tris, _PRIM_CHUNK):
+        end = min(start + _PRIM_CHUNK, n_tris)
+        ac, e1c, e2c = a[start:end], e1[start:end], e2[start:end]
+        # Solve [e1 e2 d] [beta gamma t]^T = a - o via Cramer's rule
+        # (src/Shape.cpp:120-132). Triple products with [N, C, 3] temps.
+        n_geo = jnp.cross(e1c, e2c)[None, :, :]            # [1, C, 3]
+        ao = ac[None, :, :] - o[:, None, :]                 # [N, C, 3]
+        d_b = d[:, None, :]                                 # [N, 1, 3]
+        e2xd = jnp.cross(e2c[None, :, :], d_b)              # [N, C, 3]
+        det = jnp.sum(e1c[None, :, :] * e2xd, axis=-1)      # [N, C]
+        inv_det = 1.0 / det
+        beta = jnp.sum(ao * e2xd, axis=-1) * inv_det
+        e1xd = jnp.cross(e1c[None, :, :], d_b)
+        gamma = -jnp.sum(ao * e1xd, axis=-1) * inv_det
+        t = jnp.sum(n_geo * ao, axis=-1) * inv_det
+        ok = ((t >= -int_eps) & (beta >= -int_eps) & (gamma >= -int_eps)
+              & (beta + gamma <= 1.0))
+        n_obj = bbox_ok.shape[1] - 1
+        obj = jnp.where(group.tri_obj[start:end] < 0, n_obj,
+                        group.tri_obj[start:end])
+        ok = ok & bbox_ok[:, obj]
+        key = jnp.where(ok, jnp.abs(t), _BIG)
+        ci = jnp.argmin(key, axis=-1)                        # [N]
+        ckey = jnp.take_along_axis(key, ci[:, None], axis=-1)[:, 0]
+        ct = jnp.take_along_axis(t, ci[:, None], axis=-1)[:, 0]
+        upd = ckey < best_key
+        best_t = jnp.where(upd, ct, best_t)
+        best_idx = jnp.where(upd, ci.astype(jnp.int32) + start, best_idx)
+        best_key = jnp.minimum(best_key, ckey)
+
+    return best_key, best_t, best_idx
+
+
+def _sphere_candidates(scene: T.Scene, group: T.TraceGroup, local: Rays
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Nearest sphere per ray (quadratic, src/Shape.cpp:347-388)."""
+    centers = scene.vertices[group.sph_cidx]        # [S, 3]
+    r = group.sph_radius                            # [S]
+    int_eps = scene.int_eps
+
+    o, d = local.o, local.d
+    oc = o[:, None, :] - centers[None, :, :]        # [N, S, 3]
+    dd = jnp.sum(d * d, axis=-1)[:, None]           # [N, 1]
+    b = jnp.sum(d[:, None, :] * oc, axis=-1)        # [N, S] = d.(o-c)
+    cq = jnp.sum(oc * oc, axis=-1) - (r * r)[None, :]
+    disc = b * b - dd * cq
+    ok = disc >= int_eps
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = (-b + sq) / dd
+    t2 = (-b - sq) / dd
+    # sign cases (src/Shape.cpp:365-388)
+    t = jnp.where((t1 >= 0) & (t2 < 0), t1,
+                  jnp.where((t2 >= 0) & (t1 < 0), t2, jnp.minimum(t1, t2)))
+    ok = ok & ~((t1 < 0) & (t2 < 0))
+    key = jnp.where(ok, jnp.abs(t), _BIG)
+    si = jnp.argmin(key, axis=-1)
+    skey = jnp.take_along_axis(key, si[:, None], axis=-1)[:, 0]
+    st = jnp.take_along_axis(t, si[:, None], axis=-1)[:, 0]
+    return skey, st, si.astype(jnp.int32)
+
+
+def trace(scene: T.Scene, rays: Rays) -> Hit:
+    """Nearest hit over all groups (world dispatch, src/Helper.cpp:18-80)."""
+    N = rays.o.shape[0]
+    best_t = jnp.full((N,), _BIG)
+    best_group = jnp.zeros((N,), jnp.int32)
+    best_prim = jnp.zeros((N,), jnp.int32)
+    best_sph = jnp.zeros((N,), bool)
+    valid = jnp.zeros((N,), bool)
+
+    for gi, group in enumerate(scene.groups):
+        local = _transform_rays(group, rays)
+        g_key = jnp.full((N,), _BIG)
+        g_t = jnp.zeros((N,))
+        g_prim = jnp.zeros((N,), jnp.int32)
+        g_sph = jnp.zeros((N,), bool)
+        if group.n_tris:
+            bbox_ok = _bbox_pass(group, local)
+            tk, tt, tidx = _tri_candidates(scene, group, local, bbox_ok)
+            g_key, g_t, g_prim = tk, tt, tidx
+        if group.n_spheres:
+            sk, st, sidx = _sphere_candidates(scene, group, local)
+            upd = sk < g_key
+            g_t = jnp.where(upd, st, g_t)
+            g_prim = jnp.where(upd, sidx, g_prim)
+            g_sph = upd | (group.n_tris == 0)
+            g_key = jnp.minimum(g_key, sk)
+        # world-level accept: t > 0 and nearer (src/Helper.cpp:43)
+        ok = (g_key < _BIG) & (g_t > 0) & (g_t < best_t)
+        best_t = jnp.where(ok, g_t, best_t)
+        best_group = jnp.where(ok, gi, best_group)
+        best_prim = jnp.where(ok, g_prim, best_prim)
+        best_sph = jnp.where(ok, g_sph, best_sph)
+        valid = valid | ok
+
+    return Hit(valid=valid, t=best_t, group=best_group, prim=best_prim,
+               is_sphere=best_sph)
+
+
+def trace_occlusion(scene: T.Scene, rays: Rays) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shadow query: (any hit, world hit point).
+
+    The reference runs the full nearest-hit dispatch for shadows too
+    (src/Light.cpp:188-204) and compares distances to the light; we return
+    the nearest hit point for the same comparison.
+    """
+    hit = trace(scene, rays)
+    point = rays.o + hit.t[:, None] * rays.d
+    return hit.valid, point
+
+
+def compute_vertex_normals(scene: T.Scene) -> jnp.ndarray:
+    """Accumulate flat normals of smooth triangles onto vertices.
+
+    Mirrors Scene::renderScene's vertex-normal pass (src/Scene.cpp:302-318,
+    src/Shape.cpp:262-276): per smooth triangle add normalize((c-b)x(a-b)) to
+    its three vertices, then normalize per vertex. Runs in-graph so vertex
+    gradients flow through shading normals.
+    """
+    verts = scene.vertices
+    acc = jnp.zeros_like(verts)
+    for group in scene.groups:
+        if not group.n_tris:
+            continue
+        vidx = group.tri_vidx
+        a = verts[vidx[:, 0]]
+        b = verts[vidx[:, 1]]
+        c = verts[vidx[:, 2]]
+        n = jnp.cross(c - b, a - b)
+        n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+        w = group.tri_smooth.astype(verts.dtype)[:, None]
+        n = n * w
+        for k in range(3):
+            acc = acc.at[vidx[:, k]].add(n)
+    norm = jnp.linalg.norm(acc, axis=-1, keepdims=True)
+    return acc / jnp.where(norm > 0, norm, 1.0)
+
+
+def hit_details(scene: T.Scene, rays: Rays, hit: Hit,
+                vertex_normals: jnp.ndarray) -> HitDetails:
+    """Phase 2: full geometric attributes for each ray's winning primitive."""
+    N = rays.o.shape[0]
+    zeros3 = jnp.zeros((N, 3))
+    zeros2 = jnp.zeros((N, 2))
+    out = HitDetails(
+        valid=hit.valid,
+        point=rays.o + hit.t[:, None] * rays.d,     # world (Helper.cpp:47)
+        normal=zeros3, mat=jnp.zeros((N,), jnp.int32), t=hit.t,
+        tex0=jnp.full((N,), -1, jnp.int32), tex1=jnp.full((N,), -1, jnp.int32),
+        uv=zeros2, local_point=zeros3, local_center=zeros3,
+        radius=jnp.zeros((N,)), tri_e1=zeros3, tri_e2=zeros3,
+        tri_uv0=zeros2, tri_uv1=zeros2, tri_uv2=zeros2,
+        is_sphere=hit.is_sphere,
+        minv_t=jnp.broadcast_to(jnp.eye(3), (N, 3, 3)),
+    )
+
+    verts = scene.vertices
+    for gi, group in enumerate(scene.groups):
+        in_group = hit.valid & (hit.group == gi)
+        local = _transform_rays(group, rays)
+        lpoint = local.o + hit.t[:, None] * local.d
+        minv_t3 = group.minv_t[:3, :3]
+
+        if group.n_tris:
+            sel = in_group & ~hit.is_sphere
+            pi = jnp.clip(hit.prim, 0, group.n_tris - 1)
+            vidx = group.tri_vidx[pi]                   # [N, 3]
+            a, b, c = verts[vidx[:, 0]], verts[vidx[:, 1]], verts[vidx[:, 2]]
+            # recompute bary for the winner (solve the same Cramer system)
+            e1, e2 = a - b, a - c
+            e2xd = jnp.cross(e2, local.d)
+            det = jnp.sum(e1 * e2xd, axis=-1)
+            ao = a - local.o
+            beta = jnp.sum(ao * e2xd, axis=-1) / det
+            e1xd = jnp.cross(e1, local.d)
+            gamma = -jnp.sum(ao * e1xd, axis=-1) / det
+            alpha = 1.0 - beta - gamma
+            smooth = group.tri_smooth[pi]
+            n_flat = jnp.cross(c - b, a - b)
+            n_smooth = (vertex_normals[vidx[:, 0]] * alpha[:, None]
+                        + vertex_normals[vidx[:, 1]] * beta[:, None]
+                        + vertex_normals[vidx[:, 2]] * gamma[:, None])
+            n = jnp.where(smooth[:, None], n_smooth, n_flat)
+            n = normalize(n)
+            # uv rows: vidx + per-tri uv offset (src/Shape.cpp:515-517)
+            uvoff = group.tri_uvoff[pi]
+            ntc = scene.texcoords.shape[0]
+            uvi = jnp.clip(vidx + uvoff[:, None], 0, ntc - 1)
+            uv0 = scene.texcoords[uvi[:, 0]]
+            uv1 = scene.texcoords[uvi[:, 1]]
+            uv2 = scene.texcoords[uvi[:, 2]]
+            uv = uv0 * alpha[:, None] + uv1 * beta[:, None] + uv2 * gamma[:, None]
+            m = sel[:, None]
+            out = out._replace(
+                normal=jnp.where(m, n, out.normal),
+                mat=jnp.where(sel, group.tri_mat[pi], out.mat),
+                tex0=jnp.where(sel, group.tri_tex0[pi], out.tex0),
+                tex1=jnp.where(sel, group.tri_tex1[pi], out.tex1),
+                uv=jnp.where(m, uv, out.uv),
+                local_point=jnp.where(m, lpoint, out.local_point),
+                tri_e1=jnp.where(m, b - a, out.tri_e1),
+                tri_e2=jnp.where(m, c - a, out.tri_e2),
+                tri_uv0=jnp.where(m, uv0, out.tri_uv0),
+                tri_uv1=jnp.where(m, uv1, out.tri_uv1),
+                tri_uv2=jnp.where(m, uv2, out.tri_uv2),
+                minv_t=jnp.where(sel[:, None, None], minv_t3[None], out.minv_t),
+            )
+
+        if group.n_spheres:
+            sel = in_group & hit.is_sphere
+            pi = jnp.clip(hit.prim, 0, group.n_spheres - 1)
+            center = verts[group.sph_cidx[pi]]          # [N, 3]
+            n = normalize(lpoint - center)      # local-space normal
+            # sphere UV from local spherical coords (src/Shape.cpp:413-417)
+            lc = lpoint - center
+            radius = group.sph_radius[pi]
+            theta = jnp.arccos(jnp.clip(lc[:, 1] / radius, -1.0, 1.0))
+            phi = jnp.arctan2(lc[:, 2], lc[:, 0])
+            u = (-phi + jnp.pi) / (2.0 * jnp.pi)
+            v = theta / jnp.pi
+            uv = jnp.stack([u, v], axis=-1)
+            m = sel[:, None]
+            out = out._replace(
+                normal=jnp.where(m, n, out.normal),
+                mat=jnp.where(sel, group.sph_mat[pi], out.mat),
+                tex0=jnp.where(sel, group.sph_tex0[pi], out.tex0),
+                tex1=jnp.where(sel, group.sph_tex1[pi], out.tex1),
+                uv=jnp.where(m, uv, out.uv),
+                local_point=jnp.where(m, lpoint, out.local_point),
+                local_center=jnp.where(m, center, out.local_center),
+                radius=jnp.where(sel, radius, out.radius),
+                minv_t=jnp.where(sel[:, None, None], minv_t3[None], out.minv_t),
+            )
+
+    return out

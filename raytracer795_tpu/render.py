@@ -1,0 +1,164 @@
+"""Render driver + CLI: scene in, images out.
+
+Replaces Scene::renderScene's thread fan-out (src/Scene.cpp:294-363) with one
+jitted wavefront program per camera. The sample dimension is chunked to bound
+device memory; the chunk loop accumulates the running mean.
+
+CLI: ``python -m raytracer795_tpu.render scene.xml [-o OUTDIR] [--spp N]``
+(the reference CLI is ``./raytracer scene.xml``, src/main.cpp:7-14).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import time as _time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer795_tpu.models import camera as camera_model
+from raytracer795_tpu.models import whitted
+from raytracer795_tpu.models.lights import env_radiance
+from raytracer795_tpu.ops import intersect
+from raytracer795_tpu.scene import types as T
+from raytracer795_tpu.scene.loader import load_scene
+from raytracer795_tpu.utils import image_io
+
+# Max lanes per device launch; the sample dimension is chunked under it.
+MAX_LANES = 1 << 18
+
+
+def _pixel_uv(nx: int, ny: int, repeat: int) -> jnp.ndarray:
+    xs = jnp.arange(nx).astype(jnp.float32) / nx
+    ys = jnp.arange(ny).astype(jnp.float32) / ny
+    uv = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1).reshape(-1, 2)
+    if repeat > 1:
+        uv = jnp.repeat(uv, repeat, axis=0)
+    return uv
+
+
+def _background_radiance(scene: T.Scene, rays: intersect.Rays,
+                         pixel_uv: jnp.ndarray, single_sample: bool
+                         ) -> jnp.ndarray:
+    """Per-ray miss radiance (Scene::GetBackgroundColor, src/Scene.cpp:413-435).
+
+    Quirk preserved: the single-sample path samples the background texture
+    with transposed uv (u = y/nx, v = x/ny) because SingleSample passes
+    (x, y) into (row, col) parameters (src/Scene.cpp:365-384 vs :431-432);
+    the multisample path is oriented normally.
+    """
+    n = rays.o.shape[0]
+    if scene.env_texture >= 0:
+        return env_radiance(scene, rays.d)
+    if scene.bg_texture >= 0:
+        from raytracer795_tpu.ops.texture import sample_image
+
+        uv = pixel_uv[:, ::-1] if single_sample else pixel_uv
+        return sample_image(scene.textures[scene.bg_texture], uv)
+    return jnp.broadcast_to(scene.background, (n, 3))
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _render_single(scene: T.Scene, cam, key):
+    """1-spp frame: center-of-pixel rays (src/Scene.cpp:365-384)."""
+    rays = camera_model.primary_rays(cam)
+    bg = _background_radiance(scene, rays, _pixel_uv(cam.nx, cam.ny, 1), True)
+    out = whitted.render_rays(scene, rays, bg, key)
+    return out.reshape(cam.ny, cam.nx, 3)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 3, 4))
+def _render_sample_range(scene: T.Scene, cam, key, base: int, count: int):
+    """Mean over jittered samples [base, base+count) for every pixel."""
+    rays = camera_model.sample_rays_range(cam, key, base, count)
+    bg = _background_radiance(scene, rays, _pixel_uv(cam.nx, cam.ny, count),
+                              False)
+    out = whitted.render_rays(scene, rays, bg, key)
+    return out.reshape(cam.ny, cam.nx, count, 3).mean(axis=2)
+
+
+class _HashableCamera:
+    """Camera wrapper usable as a jit static argument."""
+
+    def __init__(self, cam: T.Camera):
+        self.__dict__.update(cam.__dict__)
+        self._key = (cam.cam_id, cam.image_name,
+                     tuple(np.asarray(cam.pos).tolist()),
+                     tuple(np.asarray(cam.gaze).tolist()),
+                     tuple(np.asarray(cam.up).tolist()),
+                     tuple(np.asarray(cam.right).tolist()),
+                     cam.near_distance, cam.left, cam.right_edge, cam.bottom,
+                     cam.top, cam.nx, cam.ny, cam.num_samples, cam.grid,
+                     cam.focus_distance, cam.aperture_size, cam.is_dof,
+                     cam.left_handed)
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _HashableCamera) and self._key == other._key
+
+
+def render_camera(loaded: T.LoadedScene, cam_index: int = 0,
+                  seed: int = 0, spp: int | None = None) -> np.ndarray:
+    """Render one camera to a [ny, nx, 3] float32 raw-radiance image."""
+    scene = loaded.scene
+    cam = loaded.cameras[cam_index]
+    if spp is not None and spp != cam.num_samples:
+        g = 1
+        while g * g < spp:
+            g += 1
+        cam = T.Camera(**{**cam.__dict__, "num_samples": spp, "grid": g})
+    key = jax.random.PRNGKey(seed)
+    fcam = _HashableCamera(cam)
+
+    if cam.num_samples <= 1:
+        return np.asarray(_render_single(scene, fcam, key))
+
+    chunk = max(1, MAX_LANES // (cam.nx * cam.ny))
+    total = cam.num_samples
+    acc = None
+    done = 0
+    while done < total:
+        s = min(chunk, total - done)
+        img = _render_sample_range(scene, fcam, jax.random.fold_in(key, done),
+                                   done, s)
+        acc = img * s if acc is None else acc + img * s
+        done += s
+    return np.asarray(acc / total)
+
+
+def render_scene(loaded: T.LoadedScene, out_dir: str = ".",
+                 seed: int = 0, spp: int | None = None) -> list:
+    """Render every camera and write its image (src/Scene.cpp:330-362)."""
+    paths = []
+    for i, cam in enumerate(loaded.cameras):
+        t0 = _time.time()
+        img = render_camera(loaded, i, seed=seed, spp=spp)
+        dt = _time.time() - t0
+        path = os.path.join(out_dir, cam.image_name)
+        image_io.save_image(path, img)
+        print(f"[raytracer795_tpu] {cam.image_name}: {cam.nx}x{cam.ny} "
+              f"spp={spp or cam.num_samples} in {dt:.3f}s")
+        paths.append(path)
+    return paths
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU-native ray tracer")
+    ap.add_argument("scene", help="scene XML file (reference contract)")
+    ap.add_argument("-o", "--out-dir", default=".")
+    ap.add_argument("--spp", type=int, default=None,
+                    help="override NumSamples for every camera")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    loaded = load_scene(args.scene)
+    os.makedirs(args.out_dir, exist_ok=True)
+    render_scene(loaded, args.out_dir, seed=args.seed, spp=args.spp)
+
+
+if __name__ == "__main__":
+    main()

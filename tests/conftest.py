@@ -1,0 +1,51 @@
+"""Test harness configuration.
+
+Pins JAX to an 8-virtual-device CPU mesh BEFORE any backend initializes:
+this container's sitecustomize registers the axon TPU plugin in every
+process and force-selects it, so tests must explicitly reclaim the CPU
+platform (jax.config wins over the plugin's os.environ override).
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jaxcomp"))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+SCENES = os.path.join(os.path.dirname(__file__), "scenes")
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+@pytest.fixture(scope="session")
+def scene_dir():
+    return SCENES
+
+
+@pytest.fixture(scope="session")
+def golden_dir():
+    return GOLDENS
+
+
+def load(name):
+    from raytracer795_tpu.scene.loader import load_scene
+
+    return load_scene(os.path.join(SCENES, name + ".xml"))
+
+
+def golden(name):
+    from raytracer795_tpu.utils.image_io import read_ppm
+
+    return read_ppm(os.path.join(GOLDENS, name + ".ppm"))
+
+
+def ldr(img):
+    from raytracer795_tpu.utils.image_io import to_ldr
+
+    return to_ldr(np.asarray(img)).astype(np.float32)
