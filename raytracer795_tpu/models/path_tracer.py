@@ -1,0 +1,336 @@
+"""Monte Carlo path tracer (the reference's hw7, pages/Page7.md).
+
+The reference documents — but its snapshot does not contain — a path tracer
+with object/mesh lights, uniform + cosine importance sampling, next-event
+estimation with the discard-the-BRDF-sample rule, and Russian roulette
+(pages/Page7.md:7-33, 135-163). This module implements that capability
+TPU-first: a single `lax.fori_loop` over bounces where every pixel-sample
+lane carries one continuation ray and a throughput, all decisions are masked
+lane-math, and all light sampling is batched.
+
+Semantics:
+- emission: rays see an emissive primitive's radiance when they hit it;
+  with NEE on, emission is counted ONLY for camera rays and rays leaving
+  specular vertices — diffuse-vertex BRDF samples that hit a light are
+  discarded to avoid double counting (the pages/Page7.md:149 rule: discard
+  the sample-direction contribution, keep NEE's).
+- NEE at diffuse vertices: area-sample every object light. Sphere lights
+  sample a uniform local-sphere point pushed through the light's transform
+  with the |cof(M) n| area Jacobian (exact for ellipsoid lights); mesh
+  lights sample triangles by area CDF. Occlusion compares hit distance to
+  sample distance (the backface-shadow fix of pages/Page7.md:143). Classic
+  point/directional/spot/area/environment lights contribute through the
+  same direct-lighting code as the Whitted integrator.
+- continuation: diffuse vertices sample the hemisphere uniformly
+  (pdf 1/2pi) or cosine-weighted (pdf cos/pi) under ImportanceSampling;
+  mirror/conductor continue the reflection with mirrorRef (x Fresnel);
+  dielectrics pick reflect/refract with probability = Fresnel (one lane,
+  unbiased) and apply Beer along internal segments — "reflected and
+  refracted rays are treated as global illumination rays"
+  (pages/Page7.md:155).
+- termination: depth cap = MaxRecursionDepth bounces; RussianRoulette kills
+  lanes with survival probability max(throughput) (the standard throughput
+  method; the reference author used a cosine heuristic and notes throughput
+  matches the course goldens, pages/Page7.md:31).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from raytracer795_tpu.models.brdf import term_brdf
+from raytracer795_tpu.models.lights import ShadePoint, direct_lighting
+from raytracer795_tpu.models.whitted import (_conductor_fresnel,
+                                             _fresnel_dielectric,
+                                             _glossy_perturb)
+from raytracer795_tpu.ops import intersect
+from raytracer795_tpu.ops.texture import apply_textures
+from raytracer795_tpu.scene import types as T
+from raytracer795_tpu.utils.vecmath import (dot, mat3_apply, normalize,
+                                            orthonormal_u, reflect, scrub_nan)
+
+
+class _PTState(NamedTuple):
+    active: jnp.ndarray     # [N]
+    count_emission: jnp.ndarray  # [N] ray may collect emission at next hit
+    o: jnp.ndarray          # [N, 3]
+    d: jnp.ndarray          # [N, 3]
+    time: jnp.ndarray       # [N]
+    tput: jnp.ndarray       # [N, 3]
+    sigma: jnp.ndarray      # [N, 3] Beer coefficient for current segment
+    radiance: jnp.ndarray   # [N, 3]
+    key: jax.Array
+
+
+def _pt_brdf(wi, wo, normal, mats, mat_idx):
+    """BRDF for path tracing.
+
+    Materials with an explicit BRDF use the reference's 8 models
+    (src/Light.cpp:62-155). Plain materials use the shading-contract
+    diffuse+specular pair normalized for energy conservation
+    (kd/pi + ks (p+8)/(8 pi) (n.h)^p — the normalized Blinn-Phong of
+    src/Light.cpp:112-121): the reference's unnormalized direct-lighting
+    formula (plain kd) is not a valid pdf-weighted BRDF and would make the
+    Monte Carlo estimator gain energy each bounce.
+    """
+    f = term_brdf(wi, wo, normal, mats, mat_idx)
+    kd = mats.diffuse[mat_idx]
+    ks = mats.specular[mat_idx]
+    pexp = mats.phong[mat_idx]
+    h = normalize(wo + wi)
+    cos_h = jnp.maximum(0.0, dot(normal, h))
+    pi = jnp.pi
+    f_plain = kd / pi + ks * ((pexp[:, None] + 8.0) / (8.0 * pi)) * \
+        (cos_h[:, None] ** pexp[:, None])
+    none = (mats.brdf[mat_idx] == T.BRDF_NONE)[:, None]
+    return jnp.where(none, f_plain, f)
+
+
+def _sample_hemisphere(n, chi, importance: bool):
+    """Direction + pdf around normal n. chi [N,2] uniforms."""
+    u = orthonormal_u(n)
+    w = jnp.cross(n, u)
+    phi = chi[:, 1] * 2.0 * jnp.pi
+    if importance:
+        # cosine-weighted: pdf = cos/pi
+        r = jnp.sqrt(chi[:, 0])
+        z = jnp.sqrt(jnp.maximum(0.0, 1.0 - chi[:, 0]))
+        d = (u * (r * jnp.cos(phi))[:, None] + w * (r * jnp.sin(phi))[:, None]
+             + n * z[:, None])
+        pdf = jnp.maximum(z / jnp.pi, 1e-8)
+    else:
+        # uniform: pdf = 1/(2pi)
+        z = chi[:, 0]
+        r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+        d = (u * (r * jnp.cos(phi))[:, None] + w * (r * jnp.sin(phi))[:, None]
+             + n * z[:, None])
+        pdf = jnp.full(z.shape, 1.0 / (2.0 * jnp.pi))
+    return normalize(d), pdf
+
+
+def _object_light_nee(scene: T.Scene, sp: ShadePoint, key) -> jnp.ndarray:
+    """Direct contribution of all object lights via area sampling."""
+    N = sp.point.shape[0]
+    out = jnp.zeros((N, 3))
+    mats = scene.materials
+    eps = scene.shadow_eps
+
+    def shade_from_sample(lpos, lnormal, radiance, pdf_area, li):
+        to_l = lpos - sp.point
+        d2 = jnp.sum(to_l * to_l, axis=-1)
+        dist = jnp.sqrt(d2)
+        wi = to_l / dist[:, None]
+        # occlusion: hit strictly closer than the sample point
+        o = sp.point + sp.normal * eps
+        occ_hit, occ_point = intersect.trace_occlusion(
+            scene, intersect.Rays(o=o, d=wi, time=sp.time))
+        d_occ = jnp.linalg.norm(sp.point - occ_point, axis=-1)
+        visible = ~(occ_hit & (d_occ < dist - 2.0 * eps))
+        cos_x = jnp.maximum(0.0, dot(sp.normal, wi))
+        cos_l = jnp.abs(dot(lnormal, -wi))
+        f = _pt_brdf(wi, sp.wo, sp.normal, mats, sp.mat)
+        geom = cos_x * cos_l / jnp.maximum(d2, 1e-12)
+        contrib = radiance[None, :] * f * (geom / jnp.maximum(pdf_area, 1e-12))[:, None]
+        return jnp.where((visible & sp.valid)[:, None], contrib, 0.0)
+
+    idx = 0
+    for sl in scene.sphere_lights:
+        k = jax.random.fold_in(key, 7000 + idx)
+        chi = jax.random.uniform(k, (N, 2))
+        z = 1.0 - 2.0 * chi[:, 0]
+        r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+        phi = 2.0 * jnp.pi * chi[:, 1]
+        n_l = jnp.stack([r * jnp.cos(phi), z, r * jnp.sin(phi)], axis=-1)
+        p_local = sl.center[None, :] + sl.radius * n_l
+        if sl.has_xform:
+            p_world = mat3_apply(sl.m[:3, :3], p_local) + sl.m[:3, 3]
+            jac = jnp.linalg.norm(mat3_apply(sl.cof, n_l), axis=-1)
+            n_world = normalize(mat3_apply(sl.cof, n_l))
+        else:
+            p_world = p_local
+            jac = jnp.ones((N,))
+            n_world = n_l
+        area_local = 4.0 * jnp.pi * sl.radius * sl.radius
+        pdf_area = 1.0 / (area_local * jac)
+        out = out + shade_from_sample(p_world, n_world, sl.radiance,
+                                      pdf_area, idx)
+        idx += 1
+
+    for ml in scene.mesh_lights:
+        k = jax.random.fold_in(key, 7000 + idx)
+        chi = jax.random.uniform(k, (N, 3))
+        ti = jnp.searchsorted(ml.cdf, chi[:, 0])
+        ti = jnp.clip(ti, 0, ml.a.shape[0] - 1)
+        # uniform barycentric (sqrt trick)
+        su = jnp.sqrt(chi[:, 1])
+        b1 = 1.0 - su
+        b2 = chi[:, 2] * su
+        p = (ml.a[ti] * (1.0 - b1 - b2)[:, None] + ml.b[ti] * b1[:, None]
+             + ml.c[ti] * b2[:, None])
+        n_l = ml.normal[ti]
+        pdf_area = jnp.full((N,), 1.0 / jnp.maximum(ml.total_area, 1e-12))
+        out = out + shade_from_sample(p, n_l, ml.radiance, pdf_area, idx)
+        idx += 1
+
+    return out
+
+
+def render_rays(scene: T.Scene, rays: intersect.Rays,
+                bg_radiance: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    """Path-trace a batch of camera rays to radiance [N, 3]."""
+    N = rays.o.shape[0]
+    mats = scene.materials
+    vertex_normals = intersect.compute_vertex_normals(scene)
+    max_bounces = max(scene.max_depth, 1)
+    has_object_lights = bool(scene.sphere_lights or scene.mesh_lights)
+
+    state = _PTState(
+        active=jnp.ones((N,), bool),
+        count_emission=jnp.ones((N,), bool),
+        o=rays.o, d=rays.d, time=rays.time,
+        tput=jnp.ones((N, 3)),
+        sigma=jnp.zeros((N, 3)),
+        radiance=jnp.zeros((N, 3)),
+        key=key,
+    )
+
+    def bounce(i, s: _PTState) -> _PTState:
+        k_iter = jax.random.fold_in(s.key, i)
+        wrays = intersect.Rays(o=s.o, d=s.d, time=s.time)
+        hit = intersect.trace(scene, wrays)
+        hit_valid = hit.valid & s.active
+        det = intersect.hit_details(scene, wrays, hit, vertex_normals)
+        det = det._replace(valid=hit_valid)
+        tex = apply_textures(scene, det)
+        normal = tex.normal
+
+        # Beer attenuation of the resolved segment
+        seg = jnp.exp(-s.sigma * jnp.where(hit_valid, hit.t, 0.0)[:, None])
+        tput = s.tput * seg
+
+        radiance = s.radiance
+        # primary-miss background (secondary misses contribute nothing,
+        # matching the Whitted convention src/Scene.cpp:150-153)
+        miss = s.active & ~hit_valid
+        radiance = radiance + jnp.where((miss & (i == 0))[:, None],
+                                        bg_radiance, 0.0)
+
+        # emission at the hit (double-count rule)
+        emit_ok = hit_valid & s.count_emission
+        radiance = radiance + jnp.where(emit_ok[:, None],
+                                        tput * det.emission, 0.0)
+
+        mat_idx = det.mat
+        mtype = mats.mtype[mat_idx]
+        is_diffuse = hit_valid & (mtype == T.MAT_NORMAL)
+        is_mirror = hit_valid & (mtype == T.MAT_MIRROR)
+        is_conductor = hit_valid & (mtype == T.MAT_CONDUCTOR)
+        is_dielectric = hit_valid & (mtype == T.MAT_DIELECTRIC)
+
+        # ---- NEE + classic lights at diffuse vertices ----
+        sp = ShadePoint(point=det.point, normal=normal, wo=-s.d, mat=mat_idx,
+                        dm=tex.dm, tex_color=tex.tex_color,
+                        tex_norm=tex.tex_normalizer, time=s.time,
+                        valid=is_diffuse)
+        if scene.pt_nee and has_object_lights:
+            nee = _object_light_nee(scene, sp, jax.random.fold_in(k_iter, 1))
+            radiance = radiance + scrub_nan(
+                jnp.where(is_diffuse[:, None], tput * nee, 0.0))
+        # classic lights (and ambient) always via direct lighting
+        classic = direct_lighting(scene, sp, jax.random.fold_in(k_iter, 2))
+        radiance = radiance + scrub_nan(
+            jnp.where(is_diffuse[:, None], tput * classic, 0.0))
+
+        # ---- continuations ----
+        eps = scene.shadow_eps
+        chi = jax.random.uniform(jax.random.fold_in(k_iter, 3), (N, 6))
+
+        # diffuse: hemisphere sample
+        d_diff, pdf = _sample_hemisphere(normal, chi[:, 0:2],
+                                         scene.pt_importance)
+        f = _pt_brdf(d_diff, -s.d, normal, mats, mat_idx)
+        cos_s = jnp.maximum(0.0, dot(d_diff, normal))
+        w_diff = f * (cos_s / pdf)[:, None]
+
+        # specular shared math
+        wr = reflect(s.d, normal)
+        wr = _glossy_perturb(wr, mats.roughness[mat_idx],
+                             mats.is_rough[mat_idx], chi[:, 4:6] - 0.5)
+        f_cond = _conductor_fresnel(mats.refraction[mat_idx],
+                                    mats.absorption_index[mat_idx], s.d, normal)
+        nt = mats.refraction[mat_idx]
+        entering = dot(s.d, normal) < 0
+        no = jnp.where(entering[:, None], normal, -normal)
+        snell = jnp.where(entering, 1.0 / nt, nt)
+        cos_i = -dot(s.d, no)
+        sqrt_part = 1.0 - snell * snell * (1.0 - cos_i * cos_i)
+        tir = sqrt_part < 0
+        t_dir = normalize((s.d + no * cos_i[:, None]) * snell[:, None]
+                          - no * jnp.sqrt(jnp.maximum(sqrt_part, 0.0))[:, None])
+        n_t = jnp.where(entering, nt, 1.0)
+        n_i = jnp.where(entering, 1.0, nt)
+        fr = _fresnel_dielectric(n_t, n_i, s.d, t_dir, no)
+        fr = jnp.where(tir, 1.0, fr)
+        absorb = mats.absorption_coef[mat_idx]
+        # stochastic branch pick: reflect with prob fr (weight cancels)
+        pick_reflect = chi[:, 3] < fr
+        diel_d = jnp.where((pick_reflect | tir)[:, None], wr, t_dir)
+        diel_o = jnp.where((pick_reflect | tir)[:, None],
+                           det.point + normal * eps, det.point - no * eps)
+        # Beer applies when the NEXT segment runs inside the medium:
+        # entering+refract, or internal reflection (TIR / exit+reflect pick)
+        diel_sigma_on = (entering & ~pick_reflect) | (~entering & (tir | pick_reflect))
+        diel_sigma = jnp.where(diel_sigma_on[:, None], absorb, 0.0)
+
+        new_d = jnp.where(is_diffuse[:, None], d_diff,
+                          jnp.where(is_dielectric[:, None], diel_d, wr))
+        new_o = jnp.where(is_dielectric[:, None], diel_o,
+                          det.point + normal * eps)
+        mfac = mats.mirror[mat_idx]
+        w_next = jnp.where(is_diffuse[:, None], w_diff,
+                           jnp.where(is_mirror[:, None], mfac,
+                                     jnp.where(is_conductor[:, None],
+                                               mfac * f_cond[:, None],
+                                               jnp.ones((N, 3)))))
+        sigma_next = jnp.where(is_dielectric[:, None], diel_sigma, 0.0)
+
+        tput = tput * jnp.where(hit_valid[:, None], w_next, 1.0)
+
+        # with NEE, diffuse-vertex BRDF samples must NOT re-collect emission
+        count_next = jnp.where(is_diffuse, not scene.pt_nee, True)
+
+        cont = hit_valid & (i + 1 < max_bounces)
+        bad = jnp.any(jnp.isnan(new_d) | jnp.isnan(tput), axis=-1)
+        cont = cont & ~bad
+        # drop dead-throughput lanes
+        cont = cont & (jnp.max(tput, axis=-1) > 1e-6)
+
+        # Russian roulette (throughput survival)
+        if scene.pt_rr:
+            q = jnp.clip(jnp.max(tput, axis=-1), 0.05, 1.0)
+            u = jax.random.uniform(jax.random.fold_in(k_iter, 4), (N,))
+            live = u < q
+            apply_rr = cont & (i >= 1)
+            tput = jnp.where((apply_rr & live)[:, None], tput / q[:, None], tput)
+            cont = jnp.where(apply_rr, cont & live, cont)
+
+        return _PTState(
+            active=cont,
+            count_emission=count_next,
+            o=jnp.where(cont[:, None], new_o, s.o),
+            d=jnp.where(cont[:, None], new_d, s.d),
+            time=s.time,
+            tput=tput,
+            sigma=jnp.where(cont[:, None], sigma_next, s.sigma),
+            radiance=radiance,
+            key=s.key,
+        )
+
+    # Without RR the loop runs exactly max_bounces; with RR lanes die early
+    # but the bound is the same (the RR kill only shortens work, and the
+    # fori_loop keeps the schedule static for XLA).
+    final = jax.lax.fori_loop(0, max_bounces, bounce, state)
+    return final.radiance

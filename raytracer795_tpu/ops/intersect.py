@@ -81,6 +81,7 @@ class HitDetails(NamedTuple):
     tri_uv2: jnp.ndarray    # [N, 2]
     is_sphere: jnp.ndarray  # [N] bool
     minv_t: jnp.ndarray     # [N, 3, 3] normal transform of the hit group
+    emission: jnp.ndarray   # [N, 3] object-light radiance of the hit prim
 
 
 def _transform_rays(group: T.TraceGroup, rays: Rays) -> Rays:
@@ -293,6 +294,7 @@ def hit_details(scene: T.Scene, rays: Rays, hit: Hit,
         tri_uv0=zeros2, tri_uv1=zeros2, tri_uv2=zeros2,
         is_sphere=hit.is_sphere,
         minv_t=jnp.broadcast_to(jnp.eye(3), (N, 3, 3)),
+        emission=jnp.zeros((N, 3)),
     )
 
     verts = scene.vertices
@@ -345,6 +347,7 @@ def hit_details(scene: T.Scene, rays: Rays, hit: Hit,
                 tri_uv1=jnp.where(m, uv1, out.tri_uv1),
                 tri_uv2=jnp.where(m, uv2, out.tri_uv2),
                 minv_t=jnp.where(sel[:, None, None], minv_t3[None], out.minv_t),
+                emission=jnp.where(m, group.tri_emis[pi], out.emission),
             )
 
         if group.n_spheres:
@@ -371,6 +374,7 @@ def hit_details(scene: T.Scene, rays: Rays, hit: Hit,
                 local_center=jnp.where(m, center, out.local_center),
                 radius=jnp.where(sel, radius, out.radius),
                 minv_t=jnp.where(sel[:, None, None], minv_t3[None], out.minv_t),
+                emission=jnp.where(m, group.sph_emis[pi], out.emission),
             )
 
     return out

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from raytracer795_tpu.models import camera as camera_model
-from raytracer795_tpu.models import whitted
+from raytracer795_tpu.models import path_tracer, whitted
 from raytracer795_tpu.models.lights import env_radiance
 from raytracer795_tpu.ops import intersect
 from raytracer795_tpu.scene import types as T
@@ -29,6 +29,11 @@ from raytracer795_tpu.utils import image_io
 
 # Max lanes per device launch; the sample dimension is chunked under it.
 MAX_LANES = 1 << 18
+
+
+def _integrator(scene: T.Scene):
+    return (path_tracer.render_rays if scene.renderer == "pathtracing"
+            else whitted.render_rays)
 
 
 def _pixel_uv(nx: int, ny: int, repeat: int) -> jnp.ndarray:
@@ -66,7 +71,7 @@ def _render_single(scene: T.Scene, cam, key):
     """1-spp frame: center-of-pixel rays (src/Scene.cpp:365-384)."""
     rays = camera_model.primary_rays(cam)
     bg = _background_radiance(scene, rays, _pixel_uv(cam.nx, cam.ny, 1), True)
-    out = whitted.render_rays(scene, rays, bg, key)
+    out = _integrator(scene)(scene, rays, bg, key)
     return out.reshape(cam.ny, cam.nx, 3)
 
 
@@ -76,7 +81,7 @@ def _render_sample_range(scene: T.Scene, cam, key, base: int, count: int):
     rays = camera_model.sample_rays_range(cam, key, base, count)
     bg = _background_radiance(scene, rays, _pixel_uv(cam.nx, cam.ny, count),
                               False)
-    out = whitted.render_rays(scene, rays, bg, key)
+    out = _integrator(scene)(scene, rays, bg, key)
     return out.reshape(cam.ny, cam.nx, count, 3).mean(axis=2)
 
 

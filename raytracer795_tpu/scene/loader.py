@@ -141,6 +141,15 @@ def load_scene(xml_path: str) -> T.LoadedScene:
 
     # ---- scene attributes (src/Parser.h:17-50) ----
     max_depth = _child_int(root, "MaxRecursionDepth", 1)
+    renderer_e = root.find("Renderer")
+    renderer = "whitted"
+    if renderer_e is not None and "path" in renderer_e.text.strip().lower():
+        renderer = "pathtracing"
+    params_e = root.find("RendererParams")
+    params = (params_e.text or "") if params_e is not None else ""
+    pt_nee = "NextEventEstimation" in params
+    pt_importance = "ImportanceSampling" in params
+    pt_rr = "RussianRoulette" in params
     background = _vec3(root.find("BackgroundColor"), default=(0, 0, 0))
     shadow_eps = _child_float(root, "ShadowRayEpsilon", 0.002)
     int_eps = _child_float(root, "IntersectionTestEpsilon", 0.001)
@@ -362,18 +371,25 @@ def load_scene(xml_path: str) -> T.LoadedScene:
     obj_records = []       # dicts
     mesh_by_id: Dict[int, dict] = {}
 
-    for o in objs_e.findall("Sphere"):
-        blur, is_blur = parse_blur(o)
-        rec = dict(
-            kind="sphere", oid=int(o.get("id", "0")),
-            mat=_child_int(o, "Material", 1) - 1,
-            tex=parse_textures_elem(o),
-            xform=parse_xform(o), blur=np.asarray(blur),
-            has_blur=is_blur,
-            cidx=_child_int(o, "Center", 1) - 1,
-            radius=_child_float(o, "Radius", 1.0),
-        )
-        obj_records.append(rec)
+    def parse_radiance(o):
+        e = o.find("Radiance")
+        return np.asarray(_floats(e.text) if e is not None else [0.0, 0.0, 0.0])
+
+    for tag in ("Sphere", "LightSphere"):
+        for o in objs_e.findall(tag):
+            blur, is_blur = parse_blur(o)
+            rec = dict(
+                kind="sphere", oid=int(o.get("id", "0")),
+                mat=_child_int(o, "Material", 1) - 1,
+                tex=parse_textures_elem(o),
+                xform=parse_xform(o), blur=np.asarray(blur),
+                has_blur=is_blur,
+                cidx=_child_int(o, "Center", 1) - 1,
+                radius=_child_float(o, "Radius", 1.0),
+                radiance=parse_radiance(o),
+                is_light=tag == "LightSphere",
+            )
+            obj_records.append(rec)
 
     for o in objs_e.findall("Triangle"):
         blur, is_blur = parse_blur(o)
@@ -385,10 +401,13 @@ def load_scene(xml_path: str) -> T.LoadedScene:
             xform=parse_xform(o), blur=np.asarray(blur), has_blur=is_blur,
             faces=np.asarray([[p[0] - 1, p[1] - 1, p[2] - 1]], np.int64),
             uvoff=0, smooth=False,
+            radiance=np.zeros(3), is_light=False,
         )
         obj_records.append(rec)
 
-    for o in objs_e.findall("Mesh"):
+    mesh_like = ([(o, False) for o in objs_e.findall("Mesh")]
+                 + [(o, True) for o in objs_e.findall("LightMesh")])
+    for o, is_light in mesh_like:
         blur, is_blur = parse_blur(o)
         smooth = o.get("shadingMode", "") == "smooth"
         faces_e = o.find("Faces")
@@ -425,6 +444,7 @@ def load_scene(xml_path: str) -> T.LoadedScene:
             tex=parse_textures_elem(o),
             xform=parse_xform(o), blur=np.asarray(blur), has_blur=is_blur,
             faces=faces, uvoff=uvoff, smooth=smooth,
+            radiance=parse_radiance(o), is_light=is_light,
         )
         obj_records.append(rec)
         mesh_by_id[rec["oid"]] = rec
@@ -476,7 +496,8 @@ def load_scene(xml_path: str) -> T.LoadedScene:
                     tri_mat=np.zeros((0,), np.int32),
                     tri_tex0=np.zeros((0,), np.int32),
                     tri_tex1=np.zeros((0,), np.int32),
-                    tri_obj=np.zeros((0,), np.int32))
+                    tri_obj=np.zeros((0,), np.int32),
+                    tri_emis=np.zeros((0, 3), np.float32))
 
     def empty_sph_arrays():
         # sphere objects are single-primitive, so their reference BVH is a
@@ -486,7 +507,8 @@ def load_scene(xml_path: str) -> T.LoadedScene:
                     sph_mat=np.zeros((0,), np.int32),
                     sph_tex0=np.zeros((0,), np.int32),
                     sph_tex1=np.zeros((0,), np.int32),
-                    sph_obj=np.full((0,), -1, np.int32))
+                    sph_obj=np.full((0,), -1, np.int32),
+                    sph_emis=np.zeros((0, 3), np.float32))
 
     def rec_tri_arrays(rec, mat_idx, obj_slot):
         t0, t1 = tex_ids(rec)
@@ -499,6 +521,9 @@ def load_scene(xml_path: str) -> T.LoadedScene:
             tri_tex0=np.full((n,), t0, np.int32),
             tri_tex1=np.full((n,), t1, np.int32),
             tri_obj=np.full((n,), obj_slot if n >= 2 else -1, np.int32),
+            tri_emis=np.broadcast_to(
+                rec.get("radiance", np.zeros(3)).astype(np.float32),
+                (n, 3)).copy(),
         )
 
     def rec_bbox(rec):
@@ -515,6 +540,7 @@ def load_scene(xml_path: str) -> T.LoadedScene:
             sph_tex0=np.asarray([t0], np.int32),
             sph_tex1=np.asarray([t1], np.int32),
             sph_obj=np.full((1,), -1, np.int32),
+            sph_emis=rec.get("radiance", np.zeros(3)).astype(np.float32)[None],
         )
 
     def make_group(name, tri, sph, matrix, blur, has_xform, obj_bbox=None,
@@ -586,6 +612,44 @@ def load_scene(xml_path: str) -> T.LoadedScene:
                                                      0 if multi else -1),
             empty_sph_arrays(), rec["matrix"], rec["blur"], has_xform=True,
             obj_bbox=[rec_bbox(base)] if multi else None))
+
+    # ---- object-light sampling tables (pages/Page7.md:7-13) ----
+    sphere_lights = []
+    mesh_lights = []
+    for rec in obj_records:
+        if not rec.get("is_light"):
+            continue
+        m = rec["matrix"]
+        if rec["kind"] == "sphere":
+            m3 = m[:3, :3]
+            cof = np.linalg.det(m3) * np.linalg.inv(m3).T
+            sphere_lights.append(T.SphereLight(
+                center=vertices[rec["cidx"]].astype(np.float32),
+                radius=np.float32(rec["radius"]),
+                radiance=rec["radiance"].astype(np.float32),
+                m=m.astype(np.float32), cof=cof.astype(np.float32),
+                has_xform=bool(rec["xform"]),
+            ))
+        else:
+            tri = rec["faces"]
+            a = vertices[tri[:, 0]]
+            b = vertices[tri[:, 1]]
+            c = vertices[tri[:, 2]]
+            # bake the world transform (static) into the sampling table
+            def xf(p):
+                return p @ m[:3, :3].T + m[:3, 3]
+            a, b, c = xf(a), xf(b), xf(c)
+            n = np.cross(c - b, a - b)
+            areas = 0.5 * np.linalg.norm(n, axis=-1)
+            n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+            total = float(areas.sum())
+            cdf = np.cumsum(areas) / max(total, 1e-20)
+            mesh_lights.append(T.MeshLight(
+                a=a.astype(np.float32), b=b.astype(np.float32),
+                c=c.astype(np.float32), normal=n.astype(np.float32),
+                radiance=rec["radiance"].astype(np.float32),
+                cdf=cdf.astype(np.float32), total_area=np.float32(total),
+            ))
 
     # ---- lights (src/Parser.h:1197-1315) ----
     lights_e = root.find("Lights")
@@ -685,6 +749,10 @@ def load_scene(xml_path: str) -> T.LoadedScene:
         background=background.astype(np.float32),
         shadow_eps=np.float32(shadow_eps),
         int_eps=np.float32(int_eps),
+        sphere_lights=tuple(sphere_lights),
+        mesh_lights=tuple(mesh_lights),
+        renderer=renderer, pt_nee=pt_nee, pt_importance=pt_importance,
+        pt_rr=pt_rr,
         max_depth=max_depth,
         bg_texture=bg_texture,
         env_texture=env_texture,

@@ -137,6 +137,9 @@ class TraceGroup:
     sph_mat: Any        # [S] int32
     sph_tex0: Any       # [S] int32
     sph_tex1: Any       # [S] int32
+    # emission (object lights, pages/Page7.md:7-13): zero for non-lights
+    tri_emis: Any       # [T, 3] f32
+    sph_emis: Any       # [S, 3] f32
     # per-source-object root bounding boxes, local space. The reference only
     # bbox-tests INNER BVH nodes, so an object whose BVH is a single leaf
     # (1 primitive) never gets a bbox test (src/BVH.cpp:64-74,148-176);
@@ -160,6 +163,36 @@ class TraceGroup:
     # --- optional flattened BVH over this group's primitives -------------
     # Built lazily on the host (ops/bvh.py); None => linear intersection.
     bvh_nodes: Any = None   # [N, 8] f32: min(3) max(3) (meta1 meta2 as bits)
+
+
+@_dataclass_pytree(meta=("has_xform",))
+class SphereLight:
+    """Emissive sphere for NEE area sampling (pages/Page7.md:7-13).
+
+    Sampling: uniform point on the LOCAL unit sphere scaled by radius; the
+    world-space area pdf uses the surface Jacobian |cof(M) n| so transformed
+    (ellipsoid) lights stay unbiased.
+    """
+
+    center: Any     # [3] local-space center
+    radius: Any     # scalar
+    radiance: Any   # [3]
+    m: Any          # [4, 4] local -> world
+    cof: Any        # [3, 3] cofactor matrix det(M) M^-T (area Jacobian)
+    has_xform: bool
+
+
+@_dataclass_pytree
+class MeshLight:
+    """Emissive mesh: world-space triangles with an area CDF."""
+
+    a: Any          # [T, 3]
+    b: Any          # [T, 3]
+    c: Any          # [T, 3]
+    normal: Any     # [T, 3] unit geometric normals
+    radiance: Any   # [3]
+    cdf: Any        # [T] normalized cumulative areas
+    total_area: Any  # scalar
 
 
 @dataclasses.dataclass
@@ -192,6 +225,7 @@ class Camera:
 
 @_dataclass_pytree(meta=(
     "max_depth", "bg_texture", "env_texture", "n_textures", "texture_statics",
+    "renderer", "pt_nee", "pt_importance", "pt_rr",
 ))
 class Scene:
     """The whole scene as a pytree (device side) + static structure."""
@@ -205,12 +239,18 @@ class Scene:
     background: Any     # [3] f32
     shadow_eps: Any     # scalar f32 (default .002, src/Parser.h:24)
     int_eps: Any        # scalar f32 (default .001, src/Parser.h:25)
+    sphere_lights: Tuple = ()
+    mesh_lights: Tuple = ()
     # static
-    max_depth: int      # default 1 (src/Parser.h:23)
-    bg_texture: int     # texture index with ReplaceBackground decal, or -1
-    env_texture: int    # texture index of the environment light image, or -1
-    n_textures: int
-    texture_statics: Tuple[Tuple[int, int, int, int], ...]  # (decal, interp, ttype, nc)
+    renderer: str = "whitted"   # "whitted" | "pathtracing"
+    pt_nee: bool = False        # NextEventEstimation
+    pt_importance: bool = False  # ImportanceSampling (cosine)
+    pt_rr: bool = False         # RussianRoulette (throughput method)
+    max_depth: int = 1  # default 1 (src/Parser.h:23)
+    bg_texture: int = -1    # texture index with ReplaceBackground decal, or -1
+    env_texture: int = -1   # texture index of the environment light image
+    n_textures: int = 0
+    texture_statics: Tuple[Tuple[int, int, int, int], ...] = ()
 
 
 @dataclasses.dataclass
