@@ -41,9 +41,12 @@ def sample_rays(cam: Camera, key: jax.Array) -> Rays:
     return sample_rays_range(cam, key, 0, cam.num_samples)
 
 
-def sample_rays_range(cam: Camera, key: jax.Array, base: int, count: int
+def sample_rays_range(cam: Camera, key: jax.Array, base, count: int
                       ) -> Rays:
     """Jittered sample rays for sample indices [base, base+count).
+
+    ``count`` is static (lane-count shape); ``base`` may be a traced scalar
+    so one compiled program serves every sample chunk of a frame.
 
     Grid placement per getSampleRay (src/Camera.cpp:94-113): sample s sits in
     sub-pixel cell (s % g, s // g) of a g x g grid (g = ceil-sqrt of S) with
@@ -68,7 +71,7 @@ def sample_rays_range(cam: Camera, key: jax.Array, base: int, count: int
           + u[None, :, None] * right
           + v[:, None, None] * up)                          # [ny, nx, 3]
 
-    s = jnp.arange(base, base + S)
+    s = base + jnp.arange(S)
     si = (s % g).astype(jnp.float32)                        # [S]
     sj = (s // g).astype(jnp.float32)
 

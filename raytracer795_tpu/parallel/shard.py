@@ -1,0 +1,191 @@
+"""Multi-chip SPMD rendering and differentiable optimization.
+
+The reference's only parallelism is 8 POSIX threads interleaving pixel
+columns on one box (src/Scene.cpp:269-292,340-356; rationale
+pages/Page3.md:101 — hot pixels cluster, so work is dealt modulo the worker
+count for load balance). The TPU-native analogue is SPMD data parallelism
+over the flat ray batch: rays/pixels are block-sharded over a 1-D device
+mesh axis, the scene (geometry, BVH, materials, textures, lights) is
+replicated — exactly the reference's shared read-only scene — and the only
+cross-chip traffic is
+
+  * nothing at all in the forward render (each chip shades its own lanes;
+    the film tiles are gathered by the host when it assembles the image), and
+  * one ``psum`` of parameter gradients in the backward pass (the renderer's
+    equivalent of gradient all-reduce in data-parallel training).
+
+Both collectives ride ICI inside a slice / DCN across slices; XLA inserts
+and schedules them from the ``shard_map`` specs below.
+
+Because camera lanes are embarrassingly parallel, the same program scales
+from 1 chip to a pod without code changes: ``make_ray_mesh`` just enumerates
+more devices. Block (contiguous) sharding is used rather than the
+reference's modulo interleave: lanes here cost near-uniform time since the
+wavefront loop is fixed-depth masked math, so interleaving buys nothing and
+contiguous tiles keep the host-side film assembly a cheap reshape.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from raytracer795_tpu.models import path_tracer, whitted
+from raytracer795_tpu.ops import intersect
+from raytracer795_tpu.scene import types as T
+
+RAY_AXIS = "rays"
+
+
+def make_ray_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D device mesh over the ray/pixel batch axis."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (RAY_AXIS,))
+
+
+def _integrator(scene: T.Scene):
+    return (path_tracer.render_rays if scene.renderer == "pathtracing"
+            else whitted.render_rays)
+
+
+def _replicated_like(tree):
+    return jax.tree.map(lambda _: P(), tree)
+
+
+def _lane_sharded_like(tree):
+    return jax.tree.map(lambda _: P(RAY_AXIS), tree)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def render_rays_sharded(scene: T.Scene, rays: intersect.Rays,
+                        bg_radiance: jnp.ndarray, key: jax.Array,
+                        mesh: Mesh) -> jnp.ndarray:
+    """Render a ray batch with lanes sharded over the mesh's ray axis.
+
+    Lane count must be divisible by the mesh size (callers pad; dead lanes
+    are free — they are masked math in the wavefront loop).
+    """
+    integrator = _integrator(scene)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(_replicated_like(scene), _lane_sharded_like(rays),
+                  P(RAY_AXIS), P()),
+        out_specs=P(RAY_AXIS),
+        check_rep=False,
+    )
+    def shard_render(scene_, rays_, bg_, key_):
+        # decorrelate each chip's sampler streams
+        key_ = jax.random.fold_in(key_, jax.lax.axis_index(RAY_AXIS))
+        return integrator(scene_, rays_, bg_, key_)
+
+    return jax.jit(shard_render)(scene, rays, bg_radiance, key)
+
+
+# --------------------------------------------------------------------------
+# Differentiable parameters and the data-parallel train step
+# --------------------------------------------------------------------------
+
+def differentiable_params(scene: T.Scene) -> Dict[str, Any]:
+    """The scene leaves we optimize: material tables, light powers, vertices.
+
+    These are the reference's hand-authored XML quantities
+    (src/Material.h:10-33, src/Parser.h:1197-1315, VertexData) — here they
+    are first-class trainable arrays.
+    """
+    return {
+        "diffuse": scene.materials.diffuse,
+        "specular": scene.materials.specular,
+        "mirror": scene.materials.mirror,
+        "ambient": scene.materials.ambient,
+        "point_intensity": scene.lights.point_intensity,
+        "area_radiance": scene.lights.area_radiance,
+        "mesh_light_radiance": tuple(ml.radiance for ml in scene.mesh_lights),
+        "sphere_light_radiance": tuple(sl.radiance
+                                       for sl in scene.sphere_lights),
+        "vertices": scene.vertices,
+    }
+
+
+def scene_with_params(scene: T.Scene, params: Dict[str, Any]) -> T.Scene:
+    """Rebuild the scene pytree with the trainable leaves swapped in."""
+    import dataclasses
+
+    mats = dataclasses.replace(
+        scene.materials, diffuse=params["diffuse"],
+        specular=params["specular"], mirror=params["mirror"],
+        ambient=params["ambient"])
+    lights = dataclasses.replace(
+        scene.lights, point_intensity=params["point_intensity"],
+        area_radiance=params["area_radiance"])
+    mesh_lights = tuple(
+        dataclasses.replace(ml, radiance=r)
+        for ml, r in zip(scene.mesh_lights, params["mesh_light_radiance"]))
+    sphere_lights = tuple(
+        dataclasses.replace(sl, radiance=r)
+        for sl, r in zip(scene.sphere_lights, params["sphere_light_radiance"]))
+    return dataclasses.replace(
+        scene, materials=mats, lights=lights, mesh_lights=mesh_lights,
+        sphere_lights=sphere_lights, vertices=params["vertices"])
+
+
+def train_step(scene: T.Scene, rays: intersect.Rays,
+               bg_radiance: jnp.ndarray, target: jnp.ndarray,
+               key: jax.Array, mesh: Mesh, lr: float = 1e-2
+               ) -> Tuple[jnp.ndarray, T.Scene]:
+    """One data-parallel inverse-rendering step: render → MSE → psum(grad).
+
+    Rays and the target image are sharded over the ray axis; the scene
+    (including the trainable parameters) is replicated. Each chip computes
+    the loss and parameter gradients of ITS lanes; one ``psum`` over the ray
+    axis all-reduces both, after which every chip applies the identical SGD
+    update — the canonical DP layout (scaling-book recipe), with the film
+    axis playing the role of the batch axis.
+
+    Returns (global loss, updated scene).
+    """
+    params = differentiable_params(scene)
+    integrator = _integrator(scene)
+    n_total = rays.o.shape[0]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(_replicated_like(params), _replicated_like(scene),
+                  _lane_sharded_like(rays), P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=(P(), _replicated_like(params)),
+        check_rep=False,
+    )
+    def shard_loss_grads(params_, scene_, rays_, bg_, target_, key_):
+        key_ = jax.random.fold_in(key_, jax.lax.axis_index(RAY_AXIS))
+
+        def loss_fn(p):
+            sc = scene_with_params(scene_, p)
+            img = integrator(sc, rays_, bg_, key_)
+            return jnp.sum((img - target_) ** 2) / (3.0 * n_total)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params_)
+        loss = jax.lax.psum(loss, RAY_AXIS)
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, RAY_AXIS), grads)
+        return loss, grads
+
+    loss, grads = jax.jit(shard_loss_grads)(params, scene, rays, bg_radiance,
+                                            target, key)
+    new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+    return loss, scene_with_params(scene, new_params)
+
+
+def shard_rays(rays: intersect.Rays, mesh: Mesh) -> intersect.Rays:
+    """Device-put a ray batch with lanes block-sharded over the mesh."""
+    sh = NamedSharding(mesh, P(RAY_AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), rays)

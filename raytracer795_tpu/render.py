@@ -75,9 +75,12 @@ def _render_single(scene: T.Scene, cam, key):
     return out.reshape(cam.ny, cam.nx, 3)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 3, 4))
-def _render_sample_range(scene: T.Scene, cam, key, base: int, count: int):
-    """Mean over jittered samples [base, base+count) for every pixel."""
+@functools.partial(jax.jit, static_argnums=(1, 4))
+def _render_sample_range(scene: T.Scene, cam, key, base, count: int):
+    """Mean over jittered samples [base, base+count) for every pixel.
+
+    ``base`` is traced so all chunks of a frame share one compilation.
+    """
     rays = camera_model.sample_rays_range(cam, key, base, count)
     bg = _background_radiance(scene, rays, _pixel_uv(cam.nx, cam.ny, count),
                               False)
