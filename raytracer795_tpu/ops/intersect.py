@@ -201,6 +201,100 @@ def _sphere_candidates(scene: T.Scene, group: T.TraceGroup, local: Rays
     return skey, st, si.astype(jnp.int32)
 
 
+def _tri_bvh_candidates(scene: T.Scene, group: T.TraceGroup, local: Rays
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Nearest triangle per ray via the group's flat BVH.
+
+    Stackless skip-link walk (see ops/bvh.py): every lane advances through
+    the DFS node order — hit an inner node -> next node; miss, or finish a
+    leaf's primitive block -> the node's skip link. All lanes run in lockstep
+    inside one ``lax.while_loop``; finished lanes idle at node == n_nodes.
+
+    Semantics match the brute-force `_tri_candidates` path exactly:
+    - the slab test keeps the reference quirk that a zero direction component
+      rejects the box via inf/NaN arithmetic (src/BVH.cpp:212-266), and boxes
+      fully behind the origin still traverse (no exit >= 0 test);
+    - pruning skips a node only when its entry distance exceeds the current
+      best |t| and the entry is ahead of the origin — exactly the hits the
+      |t| ranking (src/BVH.cpp:165-171) could still accept;
+    - triangle accept tests and |t| ranking as in src/Shape.cpp:113-155.
+    """
+    bvh: T.FlatBVH = jax.tree_util.tree_map(jnp.asarray, group.bvh)
+    n_nodes = bvh.bmin.shape[0]
+    n_tris = group.n_tris
+    K = bvh.max_leaf
+    int_eps = scene.int_eps
+
+    verts = jnp.asarray(scene.vertices)
+    a = verts[group.tri_vidx[:, 0]]     # [T, 3] leaf-contiguous order
+    b = verts[group.tri_vidx[:, 1]]
+    c = verts[group.tri_vidx[:, 2]]
+    e1 = a - b                          # reference column a-b
+    e2 = a - c
+
+    o, d = local.o, local.d             # [N, 3]
+    N = o.shape[0]
+    inv_d = 1.0 / d                     # inf where d == 0 (quirk preserved)
+
+    # Lanes that can never hit (NaN ray or all-zero direction) start done:
+    # they'd otherwise accept every bbox through NaN comparisons and walk the
+    # whole tree (the brute path rejects them per-prim, src/Helper.cpp:28-30).
+    dead = (jnp.any(jnp.isnan(o) | jnp.isnan(d), axis=-1)
+            | jnp.all(d == 0.0, axis=-1))
+    node0 = jnp.where(dead, n_nodes, 0).astype(jnp.int32)
+
+    def cond(state):
+        node = state[0]
+        return jnp.any(node < n_nodes)
+
+    def body(state):
+        node, best_key, best_t, best_idx = state
+        active = node < n_nodes
+        ni = jnp.minimum(node, n_nodes - 1)
+        bmin = bvh.bmin[ni]             # [N, 3]
+        bmax = bvh.bmax[ni]
+        pos = d > 0
+        t_e = jnp.where(pos, (bmin - o) * inv_d, (bmax - o) * inv_d)
+        t_l = jnp.where(pos, (bmax - o) * inv_d, (bmin - o) * inv_d)
+        entry = jnp.max(t_e, axis=-1)
+        exit_ = jnp.min(t_l, axis=-1)
+        box_hit = ~(exit_ < entry)                     # reference slab accept
+        box_hit = box_hit & ~(entry > best_key)        # safe |t| prune
+        cnt = bvh.count[ni]
+        is_leaf = cnt > 0
+        first = bvh.first[ni]
+
+        do_leaf = active & box_hit & is_leaf
+        for j in range(K):
+            pi = jnp.clip(first + j, 0, n_tris - 1)
+            ok_j = do_leaf & (j < cnt)
+            ac, e1c, e2c = a[pi], e1[pi], e2[pi]       # [N, 3] gathers
+            ao = ac - o
+            e2xd = jnp.cross(e2c, d)
+            det = jnp.sum(e1c * e2xd, axis=-1)
+            inv_det = 1.0 / det
+            beta = jnp.sum(ao * e2xd, axis=-1) * inv_det
+            e1xd = jnp.cross(e1c, d)
+            gamma = -jnp.sum(ao * e1xd, axis=-1) * inv_det
+            t = jnp.sum(jnp.cross(e1c, e2c) * ao, axis=-1) * inv_det
+            ok = (ok_j & (t >= -int_eps) & (beta >= -int_eps)
+                  & (gamma >= -int_eps) & (beta + gamma <= 1.0))
+            key = jnp.where(ok, jnp.abs(t), _BIG)
+            upd = key < best_key
+            best_t = jnp.where(upd, t, best_t)
+            best_idx = jnp.where(upd, pi.astype(jnp.int32), best_idx)
+            best_key = jnp.minimum(best_key, key)
+
+        nxt = jnp.where(box_hit & ~is_leaf, node + 1, bvh.miss[ni])
+        node = jnp.where(active, nxt, node).astype(jnp.int32)
+        return node, best_key, best_t, best_idx
+
+    state = (node0, jnp.full((N,), _BIG), jnp.zeros((N,)),
+             jnp.zeros((N,), jnp.int32))
+    _, best_key, best_t, best_idx = jax.lax.while_loop(cond, body, state)
+    return best_key, best_t, best_idx
+
+
 def trace(scene: T.Scene, rays: Rays) -> Hit:
     """Nearest hit over all groups (world dispatch, src/Helper.cpp:18-80)."""
     N = rays.o.shape[0]
@@ -217,8 +311,11 @@ def trace(scene: T.Scene, rays: Rays) -> Hit:
         g_prim = jnp.zeros((N,), jnp.int32)
         g_sph = jnp.zeros((N,), bool)
         if group.n_tris:
-            bbox_ok = _bbox_pass(group, local)
-            tk, tt, tidx = _tri_candidates(scene, group, local, bbox_ok)
+            if group.bvh is not None:
+                tk, tt, tidx = _tri_bvh_candidates(scene, group, local)
+            else:
+                bbox_ok = _bbox_pass(group, local)
+                tk, tt, tidx = _tri_candidates(scene, group, local, bbox_ok)
             g_key, g_t, g_prim = tk, tt, tidx
         if group.n_spheres:
             sk, st, sidx = _sphere_candidates(scene, group, local)

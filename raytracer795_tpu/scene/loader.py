@@ -134,7 +134,17 @@ def _load_image(path: str) -> np.ndarray:
 # main loader
 # --------------------------------------------------------------------------
 
-def load_scene(xml_path: str) -> T.LoadedScene:
+def load_scene(xml_path: str,
+               bvh_min_tris: Optional[int] = None) -> T.LoadedScene:
+    """Load a reference-contract XML scene.
+
+    ``bvh_min_tris``: groups with at least this many triangles get a flat
+    BVH (ops/bvh.py) and leaf-contiguous primitive order; smaller groups use
+    the vectorized linear scan, which is faster for them. Defaults to the
+    RT795_BVH_MIN_TRIS env var or 1024.
+    """
+    if bvh_min_tris is None:
+        bvh_min_tris = int(os.environ.get("RT795_BVH_MIN_TRIS", "1024"))
     tree = ET.parse(xml_path)
     root = tree.getroot()
     base_dir = os.path.dirname(xml_path)
@@ -543,8 +553,30 @@ def load_scene(xml_path: str) -> T.LoadedScene:
             sph_emis=rec.get("radiance", np.zeros(3)).astype(np.float32)[None],
         )
 
+    # flat-BVH build, shared across instances of the same base mesh: the
+    # BVH lives in group-local space (rays are transformed by minv first),
+    # exactly like the reference's shared baseMesh->bvh (src/Helper.cpp:54).
+    _bvh_cache: Dict = {}
+
+    def maybe_bvh(tri, cache_key=None):
+        n = len(tri["tri_vidx"])
+        if n < max(bvh_min_tris, 2):
+            return tri, None
+        cached = _bvh_cache.get(cache_key) if cache_key is not None else None
+        if cached is None:
+            from raytracer795_tpu.ops import bvh as bvh_mod
+
+            pbmin, pbmax = bvh_mod.tri_bounds(vertices, tri["tri_vidx"])
+            cached = bvh_mod.build(pbmin, pbmax)
+            if cache_key is not None:
+                _bvh_cache[cache_key] = cached
+        flat, perm = cached
+        tri = {k: v[perm] for k, v in tri.items()}
+        return tri, flat
+
     def make_group(name, tri, sph, matrix, blur, has_xform, obj_bbox=None,
-                   mat_override=None):
+                   mat_override=None, bvh_key=None):
+        tri, flat_bvh = maybe_bvh(tri, bvh_key)
         minv = np.linalg.inv(matrix) if has_xform else np.eye(4)
         minv_t = np.linalg.inv(matrix).T if has_xform else np.eye(4)
         if obj_bbox is None or len(obj_bbox) == 0:
@@ -560,6 +592,7 @@ def load_scene(xml_path: str) -> T.LoadedScene:
             name=name, mat_override=mat_override,
             has_xform=has_xform,
             n_tris=len(tri["tri_vidx"]), n_spheres=len(sph["sph_cidx"]),
+            bvh=flat_bvh,
         )
 
     # merged static group
@@ -599,7 +632,8 @@ def load_scene(xml_path: str) -> T.LoadedScene:
                                                      0 if multi else -1),
                 empty_sph_arrays(), rec["matrix"], rec["blur"],
                 has_xform=bool(rec["xform"]),
-                obj_bbox=[rec_bbox(rec)] if multi else None))
+                obj_bbox=[rec_bbox(rec)] if multi else None,
+                bvh_key=("mesh", rec["oid"])))
 
     # instances: share the base mesh's geometry (tri_vidx aliases the same
     # array) with the instance's material baked into tri_mat — the runtime
@@ -611,7 +645,8 @@ def load_scene(xml_path: str) -> T.LoadedScene:
             f"instance#{rec['oid']}", rec_tri_arrays(base, rec["mat"],
                                                      0 if multi else -1),
             empty_sph_arrays(), rec["matrix"], rec["blur"], has_xform=True,
-            obj_bbox=[rec_bbox(base)] if multi else None))
+            obj_bbox=[rec_bbox(base)] if multi else None,
+            bvh_key=("mesh", rec["base"])))
 
     # ---- object-light sampling tables (pages/Page7.md:7-13) ----
     sphere_lights = []

@@ -110,6 +110,23 @@ class Texture:
     nc: int             # NC_*
 
 
+@_dataclass_pytree(meta=("max_leaf",))
+class FlatBVH:
+    """DFS-ordered flat BVH with skip links (built by ops/bvh.py).
+
+    Stackless traversal: hit inner node i -> i+1; otherwise -> miss[i];
+    leaves test primitive rows [first, first+count), count <= max_leaf.
+    The group's primitive SoA is stored in leaf-contiguous (permuted) order.
+    """
+
+    bmin: Any       # [N, 3] f32
+    bmax: Any       # [N, 3] f32
+    first: Any      # [N] i32 (leaves; 0 for inner)
+    count: Any      # [N] i32 (0 = inner node)
+    miss: Any       # [N] i32 skip link; == N means traversal done
+    max_leaf: int
+
+
 @_dataclass_pytree(meta=("name", "mat_override", "has_xform", "n_tris", "n_spheres"))
 class TraceGroup:
     """One intersectable unit: a set of primitives sharing one transform.
@@ -160,9 +177,10 @@ class TraceGroup:
     n_tris: int
     n_spheres: int
 
-    # --- optional flattened BVH over this group's primitives -------------
-    # Built lazily on the host (ops/bvh.py); None => linear intersection.
-    bvh_nodes: Any = None   # [N, 8] f32: min(3) max(3) (meta1 meta2 as bits)
+    # --- optional flat BVH over this group's triangles --------------------
+    # Built at load time (ops/bvh.py) for large groups; None => linear scan.
+    # When present, the tri_* arrays above are in leaf-contiguous order.
+    bvh: Any = None         # FlatBVH | None
 
 
 @_dataclass_pytree(meta=("has_xform",))
