@@ -1,0 +1,164 @@
+"""Differentiability north star: analytic pixel grads vs finite differences.
+
+The reference has no gradients at all (a C++ forward renderer); the new
+framework's whole pipeline is differentiable by construction. These tests
+validate the estimators the way BASELINE.json prescribes: central finite
+differences with common random numbers (same PRNG key on both sides, so the
+Monte Carlo sample set is identical and FD measures exactly the analytic
+interior derivative — visibility topology is fixed by construction for
+material/light parameters).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import load
+
+
+def _ray_batch(loaded, nx=24, ny=24):
+    from raytracer795_tpu.models import camera as camera_model
+
+    cam = dataclasses.replace(loaded.cameras[0], nx=nx, ny=ny,
+                              num_samples=1, grid=1)
+    return camera_model.primary_rays(cam)
+
+
+def _fd_check(loss, x0, eps, rtol, atol=1e-6):
+    """Central-difference vs jax.grad at scalar x0."""
+    g = float(jax.grad(loss)(jnp.float32(x0)))
+    lp = float(loss(jnp.float32(x0 + eps)))
+    lm = float(loss(jnp.float32(x0 - eps)))
+    fd = (lp - lm) / (2 * eps)
+    assert np.isfinite(g) and np.isfinite(fd), (g, fd)
+    assert abs(g - fd) <= rtol * max(abs(fd), abs(g)) + atol, (g, fd)
+    return g
+
+
+class TestPathTracerGrads:
+    """Grads through the full Monte Carlo path tracer (NEE + IS, 6 bounces)."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from raytracer795_tpu.models import path_tracer
+
+        loaded = load("cornellbox_pt")
+        scene = loaded.scene
+        rays = _ray_batch(loaded)
+        bg = jnp.zeros((rays.o.shape[0], 3), jnp.float32)
+        key = jax.random.PRNGKey(7)
+
+        def render(sc):
+            return path_tracer.render_rays(sc, rays, bg, key)
+
+        return scene, jax.jit(lambda sc: jnp.mean(render(sc)))
+
+    def test_diffuse_albedo_grad(self, setup):
+        scene, mean_render = setup
+
+        def loss(s):
+            mats = dataclasses.replace(scene.materials,
+                                       diffuse=scene.materials.diffuse * s)
+            return mean_render(dataclasses.replace(scene, materials=mats))
+
+        g = _fd_check(loss, 1.0, eps=1e-2, rtol=0.03)
+        assert g > 0  # brighter walls => brighter image
+
+    def test_light_radiance_grad(self, setup):
+        scene, mean_render = setup
+
+        def loss(s):
+            mls = tuple(dataclasses.replace(ml, radiance=ml.radiance * s)
+                        for ml in scene.mesh_lights)
+            return mean_render(dataclasses.replace(scene, mesh_lights=mls))
+
+        g = _fd_check(loss, 1.0, eps=1e-2, rtol=0.03)
+        assert g > 0
+        # emission is ~linear in radiance: L(s) ~ g*s, so L(1) ~ g
+        assert abs(g - float(loss(jnp.float32(1.0)))) < 0.05 * g
+
+    def test_mirror_reflectance_grad(self, setup):
+        scene, mean_render = setup
+
+        def loss(s):
+            mats = dataclasses.replace(scene.materials,
+                                       mirror=scene.materials.mirror * s)
+            return mean_render(dataclasses.replace(scene, materials=mats))
+
+        _fd_check(loss, 1.0, eps=1e-2, rtol=0.05)
+
+    def test_vertex_grads_finite_and_nonzero(self, setup):
+        """Vertex grads flow via the implicit hit point (discrete traversal
+        decisions are piecewise-constant, so FD at a silhouette is invalid —
+        assert structure instead: finite everywhere, nonzero on the scene)."""
+        scene, mean_render = setup
+
+        def loss(v):
+            return mean_render(dataclasses.replace(scene, vertices=v))
+
+        g = jax.grad(loss)(scene.vertices)
+        g = np.asarray(g)
+        assert np.isfinite(g).all()
+        assert np.abs(g).max() > 0
+
+
+class TestWhittedGrads:
+    """Deterministic Whitted integrator: FD must match tightly."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from raytracer795_tpu.models import whitted
+
+        loaded = load("cornellbox")
+        scene = loaded.scene
+        rays = _ray_batch(loaded)
+        n = rays.o.shape[0]
+        bg = jnp.broadcast_to(scene.background, (n, 3))
+        key = jax.random.PRNGKey(0)
+        return scene, jax.jit(
+            lambda sc: jnp.mean(whitted.render_rays(sc, rays, bg, key)))
+
+    def test_diffuse_grad(self, setup):
+        scene, mean_render = setup
+
+        def loss(s):
+            mats = dataclasses.replace(scene.materials,
+                                       diffuse=scene.materials.diffuse * s)
+            return mean_render(dataclasses.replace(scene, materials=mats))
+
+        _fd_check(loss, 1.0, eps=1e-2, rtol=0.02)
+
+    def test_point_light_grad(self, setup):
+        scene, mean_render = setup
+
+        def loss(s):
+            lights = dataclasses.replace(
+                scene.lights, point_intensity=scene.lights.point_intensity * s)
+            return mean_render(dataclasses.replace(scene, lights=lights))
+
+        g = _fd_check(loss, 1.0, eps=1e-2, rtol=0.02)
+        assert g > 0
+
+    def test_per_material_grad_is_local(self, setup):
+        """d image / d material_k is zero for a material no ray ever hits."""
+        scene, _ = setup
+        from raytracer795_tpu.models import whitted
+
+        loaded = load("cornellbox")
+        rays = _ray_batch(loaded)
+        n = rays.o.shape[0]
+        bg = jnp.broadcast_to(scene.background, (n, 3))
+        key = jax.random.PRNGKey(0)
+
+        def loss(diffuse):
+            mats = dataclasses.replace(scene.materials, diffuse=diffuse)
+            sc = dataclasses.replace(scene, materials=mats)
+            return jnp.mean(whitted.render_rays(sc, rays, bg, key))
+
+        g = np.asarray(jax.grad(loss)(scene.materials.diffuse))
+        assert np.isfinite(g).all()
+        # at least one material visible => nonzero row
+        assert np.abs(g).sum(axis=1).max() > 0
