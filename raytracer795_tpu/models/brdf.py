@@ -11,19 +11,25 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from raytracer795_tpu.scene import types as T
-from raytracer795_tpu.utils.vecmath import dot, normalize
+from raytracer795_tpu.utils.vecmath import (dot, safe_div,
+                                            safe_normalize, safe_pow)
 
 _EPS = 1e-3  # Light::_epsilon (src/Light.h:16)
 
 
 def _conductor_fresnel(n_t, k_t, d, normal):
-    """Fresnel for conductors (src/Light.cpp:18-28); d = incoming direction."""
+    """Fresnel for conductors (src/Light.cpp:18-28); d = incoming direction.
+
+    Denominators guarded: the lanes evaluating this with a non-conductor
+    material row (n=k=0, grazing cos) would divide 0/0 and poison reverse
+    mode through the downstream masks.
+    """
     cos_t = -dot(d, normal)
     two = 2.0 * n_t * cos_t
     cos2 = cos_t * cos_t
     nk2 = n_t * n_t + k_t * k_t
-    rs = (nk2 - two + cos2) / (nk2 + two + cos2)
-    rp = (nk2 * cos2 - two + 1.0) / (nk2 * cos2 + two + 1.0)
+    rs = safe_div(nk2 - two + cos2, nk2 + two + cos2)
+    rp = safe_div(nk2 * cos2 - two + 1.0, nk2 * cos2 + two + 1.0)
     return 0.5 * (rs + rp)
 
 
@@ -35,15 +41,15 @@ def term_brdf(wi, wo, normal, mats, mat_idx):
     btype = mats.brdf[mat_idx]          # [N]
 
     n_wi = dot(normal, wi)
-    wr = normalize(-wi + 2.0 * n_wi[:, None] * normal)
+    wr = safe_normalize(-wi + 2.0 * n_wi[:, None] * normal)
     cos_r = jnp.maximum(0.0, dot(wr, wo))           # Phong lobes
-    h = normalize(wo + wi)
+    h = safe_normalize(wo + wi)     # wi == -wo on dead lanes => |h| == 0
     cos_h = jnp.maximum(0.0, dot(normal, h))        # Blinn lobes
     cos_i = jnp.maximum(0.0, dot(wi, normal))
     pi = jnp.pi
 
-    pow_r = cos_r[:, None] ** p[:, None]
-    pow_h = cos_h[:, None] ** p[:, None]
+    pow_r = safe_pow(cos_r[:, None], p[:, None])
+    pow_h = safe_pow(cos_h[:, None], p[:, None])
 
     # Phong family (src/Light.cpp:63-93)
     f_mp = kd + ks * pow_r
@@ -63,11 +69,11 @@ def term_brdf(wi, wo, normal, mats, mat_idx):
     cos_alpha = jnp.maximum(0.0, dot(h, normal))
     cos_theta = dot(wi, normal)
     cos_phi = dot(wo, normal)
-    d_ts = ((p + 2.0) / (2.0 * pi)) * cos_alpha ** p     # DistributionTS
-    g_left = 2.0 * dot(normal, h) * dot(normal, wo) / dot(wo, h)
-    g_right = 2.0 * dot(normal, h) * dot(normal, wi) / dot(wi, h)
+    d_ts = ((p + 2.0) / (2.0 * pi)) * safe_pow(cos_alpha, p)  # DistributionTS
+    g_left = safe_div(2.0 * dot(normal, h) * dot(normal, wo), dot(wo, h))
+    g_right = safe_div(2.0 * dot(normal, h) * dot(normal, wi), dot(wi, h))
     g_ts = jnp.minimum(1.0, jnp.minimum(g_left, g_right))  # GeometryTS
-    spec_ts = ks * (g_ts * d_ts / (4.0 * cos_phi * cos_theta))[:, None]
+    spec_ts = ks * safe_div(g_ts * d_ts, 4.0 * cos_phi * cos_theta)[:, None]
     f_ts = kd / pi + spec_ts
     fr = _conductor_fresnel(mats.refraction[mat_idx],
                             mats.absorption_index[mat_idx], -wo, normal)

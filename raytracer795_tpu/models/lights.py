@@ -17,7 +17,11 @@ from raytracer795_tpu.models.brdf import brdf_radiance
 from raytracer795_tpu.ops import intersect
 from raytracer795_tpu.ops.texture import sample_image
 from raytracer795_tpu.scene import types as T
-from raytracer795_tpu.utils.vecmath import dot, norm, normalize, orthonormal_u
+from raytracer795_tpu.utils.vecmath import (dot, norm, normalize,
+                                            orthonormal_u, safe_normalize,
+                                            safe_pow)
+
+_sg = jax.lax.stop_gradient
 
 
 class ShadePoint(NamedTuple):
@@ -48,11 +52,11 @@ def _diffuse_specular(sp: ShadePoint, mats: T.Materials, wi, contribution):
     kd = _effective_kd(sp, mats)
     cos_i = jnp.maximum(0.0, dot(sp.normal, wi))
     diffuse = contribution * kd * cos_i[:, None]
-    h = normalize(sp.wo + wi)
+    h = safe_normalize(sp.wo + wi)  # wi == -wo on dead lanes
     cos_h = jnp.maximum(0.0, dot(sp.normal, h))
     ks = mats.specular[sp.mat]
     p = mats.phong[sp.mat]
-    specular = contribution * ks * (cos_h[:, None] ** p[:, None])
+    specular = contribution * ks * safe_pow(cos_h[:, None], p[:, None])
     return diffuse + specular
 
 
@@ -90,8 +94,10 @@ def direct_lighting(scene: T.Scene, sp: ShadePoint, key: jax.Array
         d_light = norm(topoint)
         wi = topoint / d_light[:, None]
         occ_hit, occ_point = _shadow_query(scene, sp, wi)
-        d_occ = norm(sp.point - occ_point)
-        shadowed = occ_hit & (d_light > d_occ)      # src/Light.cpp:197-200
+        # discrete visibility: compare on stop-gradient values (the miss-lane
+        # occ_point is inf; its norm VJP would NaN the backward pass)
+        d_occ = norm(_sg(sp.point) - occ_point)
+        shadowed = occ_hit & (_sg(d_light) > d_occ)  # src/Light.cpp:197-200
         contribution = lights.point_intensity[i][None, :] / (d_light * d_light)[:, None]
         lit = _lit_color(sp, mats, wi, contribution)
         out = out + jnp.where((sp.valid & ~shadowed)[:, None], lit, 0.0)
@@ -111,13 +117,14 @@ def direct_lighting(scene: T.Scene, sp: ShadePoint, key: jax.Array
         d_light = norm(topoint)
         wi = topoint / d_light[:, None]
         occ_hit, occ_point = _shadow_query(scene, sp, wi)
-        d_occ = norm(sp.point - occ_point)
-        shadowed = occ_hit & (d_light > d_occ)
+        d_occ = norm(_sg(sp.point) - occ_point)
+        shadowed = occ_hit & (_sg(d_light) > d_occ)
         contribution = lights.spot_intensity[i][None, :] / (d_light * d_light)[:, None]
         lit = _lit_color(sp, mats, wi, contribution)
-        # falloff (src/Light.cpp:338-348, 409-436)
-        angle = jnp.arccos(jnp.clip(dot(-wi, lights.spot_dir[i][None, :]),
-                                    -1.0, 1.0))
+        # falloff (src/Light.cpp:338-348, 409-436); double-where: dead lanes
+        # clip to +/-1 where arccos' derivative is infinite
+        cos_a = jnp.clip(dot(-wi, lights.spot_dir[i][None, :]), -1.0, 1.0)
+        angle = jnp.arccos(jnp.where(sp.valid, cos_a, 0.0))
         cf = jnp.cos(lights.spot_falloff[i])
         cc = jnp.cos(lights.spot_coverage[i])
         factor = ((jnp.cos(angle) - cc) / (cf - cc)) ** 4
@@ -138,8 +145,8 @@ def direct_lighting(scene: T.Scene, sp: ShadePoint, key: jax.Array
         d_light = norm(tosample)
         wi = tosample / d_light[:, None]
         occ_hit, occ_point = _shadow_query(scene, sp, wi)
-        d_occ = norm(sp.point - occ_point)
-        shadowed = occ_hit & (d_light > d_occ)
+        d_occ = norm(_sg(sp.point) - occ_point)
+        shadowed = occ_hit & (_sg(d_light) > d_occ)
         # factor = size^2 cos/d^2 (src/Light.cpp:457-463)
         cos_l = jnp.abs(dot(-wi, lights.area_normal[i][None, :]))
         factor = (size * size) * cos_l / (d_light * d_light)

@@ -45,12 +45,14 @@ from raytracer795_tpu.models.brdf import term_brdf
 from raytracer795_tpu.models.lights import ShadePoint, direct_lighting
 from raytracer795_tpu.models.whitted import (_conductor_fresnel,
                                              _fresnel_dielectric,
-                                             _glossy_perturb)
+                                             _glossy_perturb, _refract)
 from raytracer795_tpu.ops import intersect
 from raytracer795_tpu.ops.texture import apply_textures
 from raytracer795_tpu.scene import types as T
 from raytracer795_tpu.utils.vecmath import (dot, mat3_apply, normalize,
-                                            orthonormal_u, reflect, scrub_nan)
+                                            orthonormal_u, reflect,
+                                            safe_normalize, safe_pow,
+                                            scrub_nan)
 
 
 class _PTState(NamedTuple):
@@ -80,11 +82,11 @@ def _pt_brdf(wi, wo, normal, mats, mat_idx):
     kd = mats.diffuse[mat_idx]
     ks = mats.specular[mat_idx]
     pexp = mats.phong[mat_idx]
-    h = normalize(wo + wi)
+    h = safe_normalize(wo + wi)     # wi == -wo on dead lanes => |h| == 0
     cos_h = jnp.maximum(0.0, dot(normal, h))
     pi = jnp.pi
     f_plain = kd / pi + ks * ((pexp[:, None] + 8.0) / (8.0 * pi)) * \
-        (cos_h[:, None] ** pexp[:, None])
+        safe_pow(cos_h[:, None], pexp[:, None])
     none = (mats.brdf[mat_idx] == T.BRDF_NONE)[:, None]
     return jnp.where(none, f_plain, f)
 
@@ -121,14 +123,19 @@ def _object_light_nee(scene: T.Scene, sp: ShadePoint, key) -> jnp.ndarray:
     def shade_from_sample(lpos, lnormal, radiance, pdf_area, li):
         to_l = lpos - sp.point
         d2 = jnp.sum(to_l * to_l, axis=-1)
-        dist = jnp.sqrt(d2)
+        # guarded sqrt/division: dead lanes can have sample == point
+        dist = jnp.sqrt(jnp.where(d2 > 0, d2, 1.0))
+        dist = jnp.where(d2 > 0, dist, 1.0)
         wi = to_l / dist[:, None]
-        # occlusion: hit strictly closer than the sample point
+        # occlusion: hit strictly closer than the sample point. Discrete
+        # visibility — compare on stop-gradient values (miss-lane occ_point
+        # is inf; its norm VJP would NaN the backward pass).
         o = sp.point + sp.normal * eps
         occ_hit, occ_point = intersect.trace_occlusion(
             scene, intersect.Rays(o=o, d=wi, time=sp.time))
-        d_occ = jnp.linalg.norm(sp.point - occ_point, axis=-1)
-        visible = ~(occ_hit & (d_occ < dist - 2.0 * eps))
+        sg = jax.lax.stop_gradient
+        d_occ = jnp.linalg.norm(sg(sp.point) - occ_point, axis=-1)
+        visible = ~(occ_hit & (d_occ < sg(dist) - 2.0 * eps))
         cos_x = jnp.maximum(0.0, dot(sp.normal, wi))
         cos_l = jnp.abs(dot(lnormal, -wi))
         f = _pt_brdf(wi, sp.wo, sp.normal, mats, sp.mat)
@@ -181,6 +188,8 @@ def _object_light_nee(scene: T.Scene, sp: ShadePoint, key) -> jnp.ndarray:
 def render_rays(scene: T.Scene, rays: intersect.Rays,
                 bg_radiance: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     """Path-trace a batch of camera rays to radiance [N, 3]."""
+    # host (numpy) scene leaves cannot be indexed by traced lane ids
+    scene = jax.tree_util.tree_map(jnp.asarray, scene)
     N = rays.o.shape[0]
     mats = scene.materials
     vertex_normals = intersect.compute_vertex_normals(scene)
@@ -207,8 +216,9 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
         tex = apply_textures(scene, det)
         normal = tex.normal
 
-        # Beer attenuation of the resolved segment
-        seg = jnp.exp(-s.sigma * jnp.where(hit_valid, hit.t, 0.0)[:, None])
+        # Beer attenuation of the resolved segment (det.t = differentiable
+        # recompute of hit.t, same bits)
+        seg = jnp.exp(-s.sigma * jnp.where(hit_valid, det.t, 0.0)[:, None])
         tput = s.tput * seg
 
         radiance = s.radiance
@@ -261,17 +271,16 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
                              mats.is_rough[mat_idx], chi[:, 4:6] - 0.5)
         f_cond = _conductor_fresnel(mats.refraction[mat_idx],
                                     mats.absorption_index[mat_idx], s.d, normal)
+        # snell guarded on non-dielectric lanes (refraction index may be 0)
         nt = mats.refraction[mat_idx]
+        diel = mtype == T.MAT_DIELECTRIC
+        nt_s = jnp.where(diel, nt, 1.0)
         entering = dot(s.d, normal) < 0
         no = jnp.where(entering[:, None], normal, -normal)
-        snell = jnp.where(entering, 1.0 / nt, nt)
-        cos_i = -dot(s.d, no)
-        sqrt_part = 1.0 - snell * snell * (1.0 - cos_i * cos_i)
-        tir = sqrt_part < 0
-        t_dir = normalize((s.d + no * cos_i[:, None]) * snell[:, None]
-                          - no * jnp.sqrt(jnp.maximum(sqrt_part, 0.0))[:, None])
-        n_t = jnp.where(entering, nt, 1.0)
-        n_i = jnp.where(entering, 1.0, nt)
+        snell = jnp.where(entering, 1.0 / nt_s, nt_s)
+        t_dir, tir = _refract(s.d, no, snell, diel)
+        n_t = jnp.where(entering, nt_s, 1.0)
+        n_i = jnp.where(entering, 1.0, nt_s)
         fr = _fresnel_dielectric(n_t, n_i, s.d, t_dir, no)
         fr = jnp.where(tir, 1.0, fr)
         absorb = mats.absorption_coef[mat_idx]
@@ -331,6 +340,9 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
 
     # Without RR the loop runs exactly max_bounces; with RR lanes die early
     # but the bound is the same (the RR kill only shortens work, and the
-    # fori_loop keeps the schedule static for XLA).
-    final = jax.lax.fori_loop(0, max_bounces, bounce, state)
+    # fori_loop keeps the schedule static for XLA). The body is checkpointed
+    # so reverse mode rematerializes each bounce instead of saving every
+    # wavefront intermediate.
+    bounce_ckpt = jax.checkpoint(bounce, static_argnums=())
+    final = jax.lax.fori_loop(0, max_bounces, bounce_ckpt, state)
     return final.radiance

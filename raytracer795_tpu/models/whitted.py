@@ -50,8 +50,9 @@ from raytracer795_tpu.models.lights import ShadePoint, direct_lighting
 from raytracer795_tpu.ops import intersect
 from raytracer795_tpu.ops.texture import apply_textures
 from raytracer795_tpu.scene import types as T
-from raytracer795_tpu.utils.vecmath import (dot, normalize, orthonormal_u,
-                                            reflect, scrub_nan)
+from raytracer795_tpu.utils.vecmath import (dot, masked_normalize,
+                                            orthonormal_u, reflect, safe_div,
+                                            safe_normalize, scrub_nan)
 
 
 class _State(NamedTuple):
@@ -78,33 +79,73 @@ def _glossy_perturb(wr, roughness, is_rough, chi):
     """Rough-mirror jitter (src/Scene.cpp:41-47)."""
     u = orthonormal_u(wr)
     v = jnp.cross(wr, u)
-    wr2 = normalize(wr + (u * chi[:, 0:1] + v * chi[:, 1:2]) * roughness[:, None])
+    wr2 = safe_normalize(
+        wr + (u * chi[:, 0:1] + v * chi[:, 1:2]) * roughness[:, None])
     return jnp.where(is_rough[:, None], wr2, wr)
 
 
 def _fresnel_dielectric(n_t, n_i, d, t_dir, no):
-    """Dielectric Fresnel (src/Scene.cpp:120-128)."""
+    """Dielectric Fresnel (src/Scene.cpp:120-128).
+
+    Denominators guarded: non-dielectric lanes evaluate this with garbage
+    (possibly zero) indices; a raw 1/0 would NaN reverse mode through the
+    downstream masks.
+    """
     cos_t = -dot(t_dir, no)
     cos_i = -dot(d, no)
-    r_par = (n_t * cos_i - n_i * cos_t) / (n_t * cos_i + n_i * cos_t)
-    r_perp = (n_i * cos_i - n_t * cos_t) / (n_i * cos_i + n_t * cos_t)
+    r_par = safe_div(n_t * cos_i - n_i * cos_t, n_t * cos_i + n_i * cos_t)
+    r_perp = safe_div(n_i * cos_i - n_t * cos_t, n_i * cos_i + n_t * cos_t)
     return 0.5 * (r_par * r_par + r_perp * r_perp)
 
 
 def _conductor_fresnel(n_t, k_t, d, n):
-    """Conductor Fresnel (src/Scene.cpp:135-146)."""
+    """Conductor Fresnel (src/Scene.cpp:135-146); guarded like the above."""
     cos_t = -dot(d, n)
     two = 2.0 * n_t * cos_t
     cos2 = cos_t * cos_t
     nk2 = n_t * n_t + k_t * k_t
-    rs = (nk2 - two + cos2) / (nk2 + two + cos2)
-    rp = (nk2 * cos2 - two + 1.0) / (nk2 * cos2 + two + 1.0)
+    rs = safe_div(nk2 - two + cos2, nk2 + two + cos2)
+    rp = safe_div(nk2 * cos2 - two + 1.0, nk2 * cos2 + two + 1.0)
     return 0.5 * (rs + rp)
 
 
+def _refract(d, no, snell, diel_mask):
+    """Snell refraction direction + TIR mask (src/Scene.cpp:57-117).
+
+    ``diel_mask`` marks lanes whose material really is dielectric; other
+    lanes run this math on garbage (snell can be inf when refraction index
+    is 0) and are sanitized so reverse mode stays finite. Live-lane forward
+    bits are unchanged.
+    """
+    snell = jnp.where(diel_mask, snell, 1.0)
+    cos_i = -dot(d, no)
+    sqrt_part = 1.0 - snell * snell * (1.0 - cos_i * cos_i)
+    tir = sqrt_part < 0
+    # sqrt guarded at 0 (its VJP is 1/(2 sqrt) = inf); <=0 lanes return 0,
+    # exactly what sqrt(max(part, 0)) produced.
+    root = jnp.sqrt(jnp.where(sqrt_part > 0, sqrt_part, 1.0)) * (sqrt_part > 0)
+    t_raw = (d + no * cos_i[:, None]) * snell[:, None] - no * root[:, None]
+    t_dir = masked_normalize(diel_mask & ~tir, t_raw)
+    return t_dir, tir
+
+
 def render_rays(scene: T.Scene, rays: intersect.Rays,
-                bg_radiance: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
-    """Shade a batch of camera rays to radiance [N, 3]."""
+                bg_radiance: jnp.ndarray, key: jax.Array,
+                differentiable: bool = True) -> jnp.ndarray:
+    """Shade a batch of camera rays to radiance [N, 3].
+
+    ``differentiable=True`` (default) runs the lane machine as a
+    static-trip-count ``fori_loop`` — reverse-mode differentiable, with the
+    body checkpointed so the backward pass rematerializes instead of saving
+    every iteration's wavefront. The trip count is exact for the scene
+    class: D+1 iterations when no dielectric exists (ray trees are chains),
+    else the binary-split bound 2^(D+1) (capped). Extra iterations are
+    no-ops (all lanes idle), so both modes produce identical images;
+    ``differentiable=False`` keeps the early-exit ``while_loop`` for
+    forward-only rendering (CLI, goldens, bench).
+    """
+    # host (numpy) scene leaves cannot be indexed by traced lane ids
+    scene = jax.tree_util.tree_map(jnp.asarray, scene)
     N = rays.o.shape[0]
     D = max(scene.max_depth, 1)
     mats = scene.materials
@@ -125,8 +166,12 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
         st_sigma=jnp.zeros((N, D, 3)),
     )
 
-    # Upper bound on iterations = max nodes of a depth-D binary split tree.
-    max_iters = min(2 ** (scene.max_depth + 1), 1024)
+    # Upper bound on iterations = max nodes of a depth-D binary split tree
+    # when dielectrics can split a lane; a plain chain otherwise.
+    if scene.any_dielectric:
+        max_iters = min(2 ** (scene.max_depth + 1), 1024)
+    else:
+        max_iters = scene.max_depth + 1
 
     def cond(s: _State):
         return (s.it < max_iters) & jnp.any(s.active | (s.sp > 0))
@@ -163,7 +208,8 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
 
         # Beer attenuation of the segment just resolved (world dirs are unit
         # length so the segment length is t; src/Scene.cpp:110-115,130-133).
-        seg = jnp.exp(-sigma * jnp.where(hit_valid, hit.t, 0.0)[:, None])
+        # det.t is the differentiable recompute of hit.t (same bits).
+        seg = jnp.exp(-sigma * jnp.where(hit_valid, det.t, 0.0)[:, None])
         tput = tput * seg
 
         # ---- emissions ----
@@ -209,18 +255,17 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
         f_cond = _conductor_fresnel(mats.refraction[mat_idx],
                                     mats.absorption_index[mat_idx], d, normal)
 
-        # dielectric refraction (src/Scene.cpp:57-117)
+        # dielectric refraction (src/Scene.cpp:57-117); snell guarded on
+        # non-dielectric lanes (their refraction index may be 0 -> 1/0)
         nt = mats.refraction[mat_idx]
+        diel = mtype == T.MAT_DIELECTRIC
+        nt_s = jnp.where(diel, nt, 1.0)
         no = jnp.where(entering[:, None], normal, -normal)
-        snell = jnp.where(entering, 1.0 / nt, nt)
-        cos_i = -dot(d, no)
-        sqrt_part = 1.0 - snell * snell * (1.0 - cos_i * cos_i)
-        tir = sqrt_part < 0
-        t_dir = normalize((d + no * cos_i[:, None]) * snell[:, None]
-                          - no * jnp.sqrt(jnp.maximum(sqrt_part, 0.0))[:, None])
+        snell = jnp.where(entering, 1.0 / nt_s, nt_s)
+        t_dir, tir = _refract(d, no, snell, diel)
         refr_o = det.point - eps * no
-        n_t = jnp.where(entering, nt, 1.0)
-        n_i = jnp.where(entering, 1.0, nt)
+        n_t = jnp.where(entering, nt_s, 1.0)
+        n_i = jnp.where(entering, 1.0, nt_s)
         fr = _fresnel_dielectric(n_t, n_i, d, t_dir, no)
         fr = jnp.where(tir, 1.0, fr)
         absorb = mats.absorption_coef[mat_idx]
@@ -281,5 +326,10 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
             st_depth=st_depth, st_sigma=st_sigma,
         )
 
-    final = jax.lax.while_loop(cond, body, state)
+    if differentiable:
+        body_ckpt = jax.checkpoint(body)
+        final = jax.lax.fori_loop(0, max_iters, lambda i, s: body_ckpt(s),
+                                  state)
+    else:
+        final = jax.lax.while_loop(cond, body, state)
     return final.radiance

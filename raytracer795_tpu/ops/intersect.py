@@ -34,7 +34,8 @@ import jax.numpy as jnp
 
 from raytracer795_tpu.scene import types as T
 from raytracer795_tpu.utils.vecmath import (affine_apply, dot,
-                                            mat3_apply, normalize)
+                                            masked_normalize, mat3_apply,
+                                            normalize)
 
 _BIG = jnp.float32(3.0e38)
 
@@ -296,7 +297,20 @@ def _tri_bvh_candidates(scene: T.Scene, group: T.TraceGroup, local: Rays
 
 
 def trace(scene: T.Scene, rays: Rays) -> Hit:
-    """Nearest hit over all groups (world dispatch, src/Helper.cpp:18-80)."""
+    """Nearest hit over all groups (world dispatch, src/Helper.cpp:18-80).
+
+    The whole query is wrapped in ``stop_gradient``: which primitive a ray
+    hits is a discrete decision (piecewise-constant in every parameter), and
+    the candidate sweep divides/sqrt-s over ALL primitives — garbage on the
+    non-winning ones — which poisons reverse-mode AD. ``hit_details``
+    recomputes the winner's t (and every other geometric quantity)
+    differentiably, so gradients flow through the implicit hit point exactly
+    as SURVEY phase 8 prescribes, and the BVH walk's ``lax.while_loop``
+    never appears on the AD tape at all.
+    """
+    sg = jax.lax.stop_gradient
+    scene = jax.tree_util.tree_map(sg, scene)
+    rays = jax.tree_util.tree_map(sg, rays)
     N = rays.o.shape[0]
     best_t = jnp.full((N,), _BIG)
     best_group = jnp.zeros((N,), jnp.int32)
@@ -341,8 +355,13 @@ def trace_occlusion(scene: T.Scene, rays: Rays) -> Tuple[jnp.ndarray, jnp.ndarra
 
     The reference runs the full nearest-hit dispatch for shadows too
     (src/Light.cpp:188-204) and compares distances to the light; we return
-    the nearest hit point for the same comparison.
+    the nearest hit point for the same comparison. Everything here is
+    stop-gradient: visibility is a discrete (piecewise-constant) decision,
+    and the miss-lane hit point is o + 3e38*d = inf, which must never touch
+    the AD tape.
     """
+    sg = jax.lax.stop_gradient
+    rays = jax.tree_util.tree_map(sg, rays)
     hit = trace(scene, rays)
     point = rays.o + hit.t[:, None] * rays.d
     return hit.valid, point
@@ -366,13 +385,19 @@ def compute_vertex_normals(scene: T.Scene) -> jnp.ndarray:
         b = verts[vidx[:, 1]]
         c = verts[vidx[:, 2]]
         n = jnp.cross(c - b, a - b)
-        n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
-        w = group.tri_smooth.astype(verts.dtype)[:, None]
+        # safe divisor: a degenerate (zero-area) triangle contributes NaN in
+        # the reference too, but its 1/0 would also NaN the *gradients* of
+        # every healthy triangle through the scatter-add — guard it.
+        sq = jnp.sum(n * n, axis=-1, keepdims=True)
+        n = n / jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+        w = (group.tri_smooth & (sq[:, 0] > 0)).astype(verts.dtype)[:, None]
         n = n * w
         for k in range(3):
             acc = acc.at[vidx[:, k]].add(n)
-    norm = jnp.linalg.norm(acc, axis=-1, keepdims=True)
-    return acc / jnp.where(norm > 0, norm, 1.0)
+    # vertices used by no smooth triangle (sphere centers!) have acc == 0;
+    # jnp.linalg.norm's VJP at 0 is 0/0 — use the squared-sum guard instead.
+    sq = jnp.sum(acc * acc, axis=-1, keepdims=True)
+    return acc / jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
 
 
 def hit_details(scene: T.Scene, rays: Rays, hit: Hit,
@@ -381,10 +406,14 @@ def hit_details(scene: T.Scene, rays: Rays, hit: Hit,
     N = rays.o.shape[0]
     zeros3 = jnp.zeros((N, 3))
     zeros2 = jnp.zeros((N, 2))
+    # Miss lanes carry t = _BIG whose o + t*d overflows to inf and poisons
+    # reverse mode through every downstream op; give them a finite dummy t.
+    # Valid lanes are overwritten below with the differentiable recompute.
+    t0 = jnp.where(hit.valid, hit.t, 1.0)
     out = HitDetails(
         valid=hit.valid,
-        point=rays.o + hit.t[:, None] * rays.d,     # world (Helper.cpp:47)
-        normal=zeros3, mat=jnp.zeros((N,), jnp.int32), t=hit.t,
+        point=rays.o + t0[:, None] * rays.d,        # world (Helper.cpp:47)
+        normal=zeros3, mat=jnp.zeros((N,), jnp.int32), t=t0,
         tex0=jnp.full((N,), -1, jnp.int32), tex1=jnp.full((N,), -1, jnp.int32),
         uv=zeros2, local_point=zeros3, local_center=zeros3,
         radius=jnp.zeros((N,)), tri_e1=zeros3, tri_e2=zeros3,
@@ -394,11 +423,12 @@ def hit_details(scene: T.Scene, rays: Rays, hit: Hit,
         emission=jnp.zeros((N, 3)),
     )
 
-    verts = scene.vertices
+    verts = jnp.asarray(scene.vertices)
     for gi, group in enumerate(scene.groups):
+        # host (numpy) leaves cannot be indexed by traced winner ids
+        group = jax.tree_util.tree_map(jnp.asarray, group)
         in_group = hit.valid & (hit.group == gi)
         local = _transform_rays(group, rays)
-        lpoint = local.o + hit.t[:, None] * local.d
         minv_t3 = group.minv_t[:3, :3]
 
         if group.n_tris:
@@ -406,32 +436,46 @@ def hit_details(scene: T.Scene, rays: Rays, hit: Hit,
             pi = jnp.clip(hit.prim, 0, group.n_tris - 1)
             vidx = group.tri_vidx[pi]                   # [N, 3]
             a, b, c = verts[vidx[:, 0]], verts[vidx[:, 1]], verts[vidx[:, 2]]
-            # recompute bary for the winner (solve the same Cramer system)
+            # Recompute bary AND t for the winner (the same Cramer system the
+            # trace solved, src/Shape.cpp:120-132) — this is where gradients
+            # flow: the trace is stop-gradient, so t must be re-derived here
+            # from the (differentiable) vertices/ray. Same op order as
+            # _tri_candidates so the forward bits are identical.
             e1, e2 = a - b, a - c
             e2xd = jnp.cross(e2, local.d)
             det = jnp.sum(e1 * e2xd, axis=-1)
+            # masked-lane hygiene: non-winning lanes carry a clipped garbage
+            # primitive whose det may be 0; 1/0 there NaNs the backward pass
+            # even under jnp.where. Winners always have det != 0 (a zero det
+            # can never pass the accept tests).
+            inv_det = 1.0 / jnp.where(det != 0, det, 1.0)
             ao = a - local.o
-            beta = jnp.sum(ao * e2xd, axis=-1) / det
+            beta = jnp.sum(ao * e2xd, axis=-1) * inv_det
             e1xd = jnp.cross(e1, local.d)
-            gamma = -jnp.sum(ao * e1xd, axis=-1) / det
+            gamma = -jnp.sum(ao * e1xd, axis=-1) * inv_det
+            t_tri = jnp.sum(jnp.cross(e1, e2) * ao, axis=-1) * inv_det
             alpha = 1.0 - beta - gamma
+            lpoint = local.o + t_tri[:, None] * local.d
             smooth = group.tri_smooth[pi]
             n_flat = jnp.cross(c - b, a - b)
             n_smooth = (vertex_normals[vidx[:, 0]] * alpha[:, None]
                         + vertex_normals[vidx[:, 1]] * beta[:, None]
                         + vertex_normals[vidx[:, 2]] * gamma[:, None])
             n = jnp.where(smooth[:, None], n_smooth, n_flat)
-            n = normalize(n)
+            n = masked_normalize(sel, n)
             # uv rows: vidx + per-tri uv offset (src/Shape.cpp:515-517)
             uvoff = group.tri_uvoff[pi]
-            ntc = scene.texcoords.shape[0]
+            texcoords = jnp.asarray(scene.texcoords)
+            ntc = texcoords.shape[0]
             uvi = jnp.clip(vidx + uvoff[:, None], 0, ntc - 1)
-            uv0 = scene.texcoords[uvi[:, 0]]
-            uv1 = scene.texcoords[uvi[:, 1]]
-            uv2 = scene.texcoords[uvi[:, 2]]
+            uv0 = texcoords[uvi[:, 0]]
+            uv1 = texcoords[uvi[:, 1]]
+            uv2 = texcoords[uvi[:, 2]]
             uv = uv0 * alpha[:, None] + uv1 * beta[:, None] + uv2 * gamma[:, None]
             m = sel[:, None]
             out = out._replace(
+                point=jnp.where(m, rays.o + t_tri[:, None] * rays.d, out.point),
+                t=jnp.where(sel, t_tri, out.t),
                 normal=jnp.where(m, n, out.normal),
                 mat=jnp.where(sel, group.tri_mat[pi], out.mat),
                 tex0=jnp.where(sel, group.tri_tex0[pi], out.tex0),
@@ -451,17 +495,40 @@ def hit_details(scene: T.Scene, rays: Rays, hit: Hit,
             sel = in_group & hit.is_sphere
             pi = jnp.clip(hit.prim, 0, group.n_spheres - 1)
             center = verts[group.sph_cidx[pi]]          # [N, 3]
-            n = normalize(lpoint - center)      # local-space normal
-            # sphere UV from local spherical coords (src/Shape.cpp:413-417)
-            lc = lpoint - center
             radius = group.sph_radius[pi]
-            theta = jnp.arccos(jnp.clip(lc[:, 1] / radius, -1.0, 1.0))
-            phi = jnp.arctan2(lc[:, 2], lc[:, 0])
+            # recompute the winner's t (quadratic of src/Shape.cpp:347-388,
+            # same op order as _sphere_candidates) so center/radius/ray grads
+            # flow through the implicit hit point.
+            oc = local.o - center
+            dd = jnp.sum(local.d * local.d, axis=-1)
+            bq = jnp.sum(local.d * oc, axis=-1)
+            cq = jnp.sum(oc * oc, axis=-1) - radius * radius
+            disc = bq * bq - dd * cq
+            # winners have disc >= int_eps > 0 and dd > 0; guard dead lanes
+            sq = jnp.sqrt(jnp.where(disc > 0, disc, 1.0)) * (disc > 0)
+            inv_dd = 1.0 / jnp.where(dd != 0, dd, 1.0)
+            t1 = (-bq + sq) * inv_dd
+            t2 = (-bq - sq) * inv_dd
+            t_sph = jnp.where((t1 >= 0) & (t2 < 0), t1,
+                              jnp.where((t2 >= 0) & (t1 < 0), t2,
+                                        jnp.minimum(t1, t2)))
+            lpoint = local.o + t_sph[:, None] * local.d
+            lc = lpoint - center
+            n = masked_normalize(sel, lc)       # local-space normal
+            # sphere UV from local spherical coords (src/Shape.cpp:413-417);
+            # double-where on the arccos input: dead lanes clip to +/-1 where
+            # arccos' derivative is infinite.
+            cos_theta = jnp.clip(lc[:, 1] / jnp.where(radius > 0, radius, 1.0),
+                                 -1.0, 1.0)
+            theta = jnp.arccos(jnp.where(sel, cos_theta, 0.0))
+            phi = jnp.arctan2(lc[:, 2], jnp.where(sel, lc[:, 0], 1.0))
             u = (-phi + jnp.pi) / (2.0 * jnp.pi)
             v = theta / jnp.pi
             uv = jnp.stack([u, v], axis=-1)
             m = sel[:, None]
             out = out._replace(
+                point=jnp.where(m, rays.o + t_sph[:, None] * rays.d, out.point),
+                t=jnp.where(sel, t_sph, out.t),
                 normal=jnp.where(m, n, out.normal),
                 mat=jnp.where(sel, group.sph_mat[pi], out.mat),
                 tex0=jnp.where(sel, group.sph_tex0[pi], out.tex0),

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from raytracer795_tpu.ops import perlin as perlin_ops
 from raytracer795_tpu.ops.intersect import HitDetails
 from raytracer795_tpu.scene import types as T
-from raytracer795_tpu.utils.vecmath import dot, mat3_apply, normalize
+from raytracer795_tpu.utils.vecmath import (dot, masked_normalize, mat3_apply,
+                                            normalize)
 
 
 class TexturedHit(NamedTuple):
@@ -81,9 +82,12 @@ def _sphere_dp(det: HitDetails):
     """Sphere dpdu/dpdv at the hit (src/Shape.cpp:430-433)."""
     lc = det.local_point - det.local_center
     pi = jnp.pi
-    theta = jnp.arccos(jnp.clip(lc[:, 1] / jnp.where(det.radius > 0, det.radius, 1.0),
-                                -1.0, 1.0))
-    phi = jnp.arctan2(lc[:, 2], lc[:, 0])
+    sel = det.valid & det.is_sphere
+    cos_t = jnp.clip(lc[:, 1] / jnp.where(det.radius > 0, det.radius, 1.0),
+                     -1.0, 1.0)
+    # double-where: dead lanes clip to +/-1 where arccos' grad is infinite
+    theta = jnp.arccos(jnp.where(sel, cos_t, 0.0))
+    phi = jnp.arctan2(lc[:, 2], jnp.where(sel, lc[:, 0], 1.0))
     dpdu = jnp.stack([lc[:, 2] * 2 * pi,
                       jnp.zeros_like(phi),
                       lc[:, 0] * (-2) * pi], axis=-1)
@@ -101,7 +105,9 @@ def _tri_tb(det: HitDetails):
     duv1 = det.tri_uv1 - det.tri_uv0
     duv2 = det.tri_uv2 - det.tri_uv0
     det_a = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
-    inv = jnp.where(det_a != 0, 1.0 / det_a, 0.0)[:, None]
+    # safe-div form (1/0 before the where would NaN the backward pass)
+    ok = det_a != 0
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, det_a, 1.0), 0.0)[:, None]
     t_vec = (duv2[:, 1:2] * det.tri_e1 - duv1[:, 1:2] * det.tri_e2) * inv
     b_vec = (-duv2[:, 0:1] * det.tri_e1 + duv1[:, 0:1] * det.tri_e2) * inv
     return t_vec, b_vec
@@ -187,7 +193,11 @@ def apply_textures(scene: T.Scene, det: HitDetails) -> TexturedHit:
 
     # world transform of the (possibly rewritten) local normal:
     # n_world = normalize((M^-1)^T n) once per hit (src/Helper.cpp:75-78).
-    world_n = normalize(jnp.sum(det.minv_t * cur_n[:, None, :], axis=-1))
+    # Miss lanes carry a zero local normal whose normalize() is NaN — safe
+    # under the forward masks, fatal in reverse mode; substitute a unit
+    # vector there (masked_normalize) so dead lanes stay finite end to end.
+    world_n = masked_normalize(
+        det.valid, jnp.sum(det.minv_t * cur_n[:, None, :], axis=-1))
 
     return TexturedHit(dm=dm, tex_color=tex_color, tex_normalizer=tex_norm,
                        normal=world_n)

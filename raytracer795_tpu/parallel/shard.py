@@ -144,6 +144,16 @@ def train_step(scene: T.Scene, rays: intersect.Rays,
                bg_radiance: jnp.ndarray, target: jnp.ndarray,
                key: jax.Array, mesh: Mesh, lr: float = 1e-2
                ) -> Tuple[jnp.ndarray, T.Scene]:
+    """One data-parallel inverse-rendering step; returns (loss, new scene)."""
+    loss, _, new_scene = train_step_with_grads(scene, rays, bg_radiance,
+                                               target, key, mesh, lr)
+    return loss, new_scene
+
+
+def train_step_with_grads(scene: T.Scene, rays: intersect.Rays,
+                          bg_radiance: jnp.ndarray, target: jnp.ndarray,
+                          key: jax.Array, mesh: Mesh, lr: float = 1e-2
+                          ) -> Tuple[jnp.ndarray, Dict[str, Any], T.Scene]:
     """One data-parallel inverse-rendering step: render → MSE → psum(grad).
 
     Rays and the target image are sharded over the ray axis; the scene
@@ -153,7 +163,7 @@ def train_step(scene: T.Scene, rays: intersect.Rays,
     update — the canonical DP layout (scaling-book recipe), with the film
     axis playing the role of the batch axis.
 
-    Returns (global loss, updated scene).
+    Returns (global loss, psum'd gradient dict, updated scene).
     """
     params = differentiable_params(scene)
     integrator = _integrator(scene)
@@ -181,8 +191,17 @@ def train_step(scene: T.Scene, rays: intersect.Rays,
 
     loss, grads = jax.jit(shard_loss_grads)(params, scene, rays, bg_radiance,
                                             target, key)
-    new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
-    return loss, scene_with_params(scene, new_params)
+    # lr may be a scalar or a {param name: scalar} dict (params live on very
+    # different scales: vertex grads at silhouettes dwarf material grads)
+    def rate(name):
+        return lr.get(name, 0.0) if isinstance(lr, dict) else lr
+
+    new_params = {
+        name: jax.tree.map(lambda p_, g_: p_ - rate(name) * g_,
+                           params[name], grads[name])
+        for name in params
+    }
+    return loss, grads, scene_with_params(scene, new_params)
 
 
 def shard_rays(rays: intersect.Rays, mesh: Mesh) -> intersect.Rays:

@@ -32,8 +32,10 @@ MAX_LANES = 1 << 18
 
 
 def _integrator(scene: T.Scene):
-    return (path_tracer.render_rays if scene.renderer == "pathtracing"
-            else whitted.render_rays)
+    if scene.renderer == "pathtracing":
+        return path_tracer.render_rays
+    # forward-only rendering: keep the early-exit while_loop fast path
+    return functools.partial(whitted.render_rays, differentiable=False)
 
 
 def _pixel_uv(nx: int, ny: int, repeat: int) -> jnp.ndarray:

@@ -789,6 +789,8 @@ def load_scene(xml_path: str,
         renderer=renderer, pt_nee=pt_nee, pt_importance=pt_importance,
         pt_rr=pt_rr,
         max_depth=max_depth,
+        any_dielectric=bool(np.any(np.asarray(materials.mtype)
+                                   == T.MAT_DIELECTRIC)),
         bg_texture=bg_texture,
         env_texture=env_texture,
         n_textures=len(textures),

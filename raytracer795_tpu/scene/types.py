@@ -243,7 +243,7 @@ class Camera:
 
 @_dataclass_pytree(meta=(
     "max_depth", "bg_texture", "env_texture", "n_textures", "texture_statics",
-    "renderer", "pt_nee", "pt_importance", "pt_rr",
+    "renderer", "pt_nee", "pt_importance", "pt_rr", "any_dielectric",
 ))
 class Scene:
     """The whole scene as a pytree (device side) + static structure."""
@@ -265,6 +265,9 @@ class Scene:
     pt_importance: bool = False  # ImportanceSampling (cosine)
     pt_rr: bool = False         # RussianRoulette (throughput method)
     max_depth: int = 1  # default 1 (src/Parser.h:23)
+    # True iff any material is dielectric: bounds the Whitted iteration count
+    # (dielectrics split the lane's ray tree; without them it is a chain).
+    any_dielectric: bool = True
     bg_texture: int = -1    # texture index with ReplaceBackground decal, or -1
     env_texture: int = -1   # texture index of the environment light image
     n_textures: int = 0

@@ -29,6 +29,45 @@ def safe_normalize(v: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
     return v / n
 
 
+def masked_normalize(mask: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """normalize(v) on lanes where ``mask``; a safe unit vector elsewhere.
+
+    Gradient hygiene for wavefront lanes: masked-out lanes may carry garbage
+    (zero vectors, inf) whose normalize() primal is NaN. Even when a later
+    ``jnp.where`` masks the primal, the VJP of normalize multiplies the
+    (zero) cotangent by 1/|v| of the primal — 0 * inf = NaN — poisoning the
+    whole backward pass. Substituting a unit vector on dead lanes keeps the
+    forward bits identical on live lanes and the backward finite everywhere.
+    """
+    fallback = jnp.zeros_like(v).at[..., 0].set(1.0)
+    v = jnp.where(mask[..., None], v, fallback)
+    return v / norm(v)[..., None]
+
+
+def safe_pow(base: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """base ** p for base >= 0 with a finite VJP at base == 0.
+
+    Specular lobes clamp cosines to 0, and pow's derivative there is
+    p * 0^(p-1): inf for p < 1 and NaN-producing (0 * inf) under masked
+    cotangents for p == 0. Forward is exact (0^0 == 1, 0^p == 0); the
+    gradient at base == 0 is defined as 0.
+    """
+    pos = base > 0
+    safe = jnp.where(pos, base, 1.0) ** p
+    return jnp.where(pos, safe, jnp.where(p == 0, 1.0, 0.0))
+
+
+def safe_div(num: jnp.ndarray, den: jnp.ndarray, mask=None) -> jnp.ndarray:
+    """num / den with zero (or masked-out) denominators replaced by 1.
+
+    Forward: identical wherever ``den != 0`` (and mask holds); 0-denominator
+    lanes return ``num`` instead of inf/NaN — callers mask those out.
+    Backward: finite everywhere (no 1/0 in the VJP).
+    """
+    ok = den != 0 if mask is None else (den != 0) & mask
+    return num / jnp.where(ok, den, jnp.ones_like(den))
+
+
 def cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.cross(a, b)
 
