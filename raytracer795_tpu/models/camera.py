@@ -18,21 +18,27 @@ from raytracer795_tpu.scene.types import Camera
 from raytracer795_tpu.utils.vecmath import normalize
 
 
-def primary_rays(cam: Camera) -> Rays:
-    """Center-of-pixel rays, time 0 (getPrimaryRay, src/Camera.cpp:63-72)."""
+def primary_rays(cam: Camera, row0=0, n_rows: int | None = None) -> Rays:
+    """Center-of-pixel rays, time 0 (getPrimaryRay, src/Camera.cpp:63-72).
+
+    ``row0`` (traced ok) + static ``n_rows`` select a horizontal band so
+    frames larger than the lane budget tile row-wise with one compilation.
+    """
     nx, ny = cam.nx, cam.ny
+    if n_rows is None:
+        n_rows = ny
     x = (jnp.arange(nx) + 0.5) / nx
-    y = (jnp.arange(ny) + 0.5) / ny
+    y = (row0 + jnp.arange(n_rows) + 0.5) / ny
     u = cam.left + (cam.right_edge - cam.left) * x          # [nx]
-    v = cam.top - (cam.top - cam.bottom) * y                # [ny]
+    v = cam.top - (cam.top - cam.bottom) * y                # [n_rows]
     pos = jnp.asarray(cam.pos, jnp.float32)
     m = (pos[None, None]
          + jnp.asarray(cam.gaze, jnp.float32) * cam.near_distance
          + u[None, :, None] * jnp.asarray(cam.right, jnp.float32)
-         + v[:, None, None] * jnp.asarray(cam.up, jnp.float32))  # [ny, nx, 3]
+         + v[:, None, None] * jnp.asarray(cam.up, jnp.float32))  # [rows, nx, 3]
     d = normalize(m - pos)
     o = jnp.broadcast_to(pos, d.shape)
-    n = nx * ny
+    n = nx * n_rows
     return Rays(o=o.reshape(n, 3), d=d.reshape(n, 3), time=jnp.zeros((n,)))
 
 
@@ -41,31 +47,34 @@ def sample_rays(cam: Camera, key: jax.Array) -> Rays:
     return sample_rays_range(cam, key, 0, cam.num_samples)
 
 
-def sample_rays_range(cam: Camera, key: jax.Array, base, count: int
-                      ) -> Rays:
+def sample_rays_range(cam: Camera, key: jax.Array, base, count: int,
+                      row0=0, n_rows: int | None = None) -> Rays:
     """Jittered sample rays for sample indices [base, base+count).
 
     ``count`` is static (lane-count shape); ``base`` may be a traced scalar
-    so one compiled program serves every sample chunk of a frame.
+    so one compiled program serves every sample chunk of a frame. ``row0``
+    (traced) + static ``n_rows`` select a horizontal pixel band for frames
+    larger than the lane budget.
 
     Grid placement per getSampleRay (src/Camera.cpp:94-113): sample s sits in
     sub-pixel cell (s % g, s // g) of a g x g grid (g = ceil-sqrt of S) with
     uniform jitter. With DoF the ray starts on the lens and gets time 0
     (src/Camera.cpp:119-139); otherwise time ~ U(0,1) for motion blur.
     """
-    nx, ny, S, g = cam.nx, cam.ny, count, cam.grid
+    nx, S, g = cam.nx, count, cam.grid
+    ny = cam.ny if n_rows is None else n_rows
     pos = jnp.asarray(cam.pos, jnp.float32)
     right = jnp.asarray(cam.right, jnp.float32)
     up = jnp.asarray(cam.up, jnp.float32)
     gaze = jnp.asarray(cam.gaze, jnp.float32)
 
     pw = (cam.right_edge - cam.left) / nx
-    ph = (cam.top - cam.bottom) / ny
+    ph = (cam.top - cam.bottom) / cam.ny
     sw, sh = pw / g, ph / g
 
     # pixel lower-bottom corners (PixelLBCorner, src/Camera.cpp:84-92)
     u = cam.left + jnp.arange(nx) * pw                      # [nx]
-    v = cam.top - (jnp.arange(ny) + 1) * ph                 # [ny]
+    v = cam.top - (row0 + jnp.arange(ny) + 1) * ph          # [band rows]
     lb = (pos[None, None]
           + gaze * cam.near_distance
           + u[None, :, None] * right

@@ -68,15 +68,29 @@ def _lit_color(sp: ShadePoint, mats: T.Materials, wi, contribution):
     return jnp.where(has_brdf, via_brdf, via_ds)
 
 
-def _shadow_query(scene: T.Scene, sp: ShadePoint, direction):
-    """Launch the shadow ray and return (any_hit, hit_point).
+def _occluded(scene: T.Scene, sp: ShadePoint, direction, d_light=None):
+    """Shadow test via the any-hit query.
 
     Origin offset along the surface normal (src/Light.cpp:192; the
-    pages/Page2.md:87 bugfix), direction must be unit length.
+    pages/Page2.md:87 bugfix). The reference compares the occluder's
+    distance FROM THE HIT POINT against the light distance
+    (src/Light.cpp:197-200): with o = p + eps*n that is
+    |eps*n + t*d| < d_light, i.e. t < t_cap for
+    t_cap = -eps*c + sqrt(eps^2*(c^2 - 1) + d_light^2), c = n.d —
+    solved exactly so the any-hit reproduces the distance-compare
+    semantics. ``d_light=None`` means any hit occludes (directional).
     """
-    o = sp.point + sp.normal * scene.shadow_eps
+    eps = scene.shadow_eps
+    o = _sg(sp.point + sp.normal * eps)
+    if d_light is None:
+        t_cap = jnp.float32(3.0e38)
+    else:
+        c = _sg(dot(sp.normal, direction))
+        d2 = _sg(d_light * d_light)
+        rad = jnp.maximum(eps * eps * (c * c - 1.0) + d2, 0.0)
+        t_cap = -eps * c + jnp.sqrt(rad)
     rays = intersect.Rays(o=o, d=direction, time=sp.time)
-    return intersect.trace_occlusion(scene, rays)
+    return intersect.trace_anyhit(scene, rays, t_cap)
 
 
 def direct_lighting(scene: T.Scene, sp: ShadePoint, key: jax.Array
@@ -93,11 +107,7 @@ def direct_lighting(scene: T.Scene, sp: ShadePoint, key: jax.Array
         topoint = pos[None, :] - sp.point
         d_light = norm(topoint)
         wi = topoint / d_light[:, None]
-        occ_hit, occ_point = _shadow_query(scene, sp, wi)
-        # discrete visibility: compare on stop-gradient values (the miss-lane
-        # occ_point is inf; its norm VJP would NaN the backward pass)
-        d_occ = norm(_sg(sp.point) - occ_point)
-        shadowed = occ_hit & (_sg(d_light) > d_occ)  # src/Light.cpp:197-200
+        shadowed = _occluded(scene, sp, wi, d_light)  # src/Light.cpp:197-200
         contribution = lights.point_intensity[i][None, :] / (d_light * d_light)[:, None]
         lit = _lit_color(sp, mats, wi, contribution)
         out = out + jnp.where((sp.valid & ~shadowed)[:, None], lit, 0.0)
@@ -105,10 +115,10 @@ def direct_lighting(scene: T.Scene, sp: ShadePoint, key: jax.Array
     # ---- directional lights (src/Light.cpp:256-321) ----
     for i in range(lights.dir_dir.shape[0]):
         wi = jnp.broadcast_to(-lights.dir_dir[i], sp.point.shape)
-        occ_hit, _ = _shadow_query(scene, sp, wi)
+        occ = _occluded(scene, sp, wi, None)
         contribution = jnp.broadcast_to(lights.dir_radiance[i], sp.point.shape)
         lit = _lit_color(sp, mats, wi, contribution)
-        out = out + jnp.where((sp.valid & ~occ_hit)[:, None], lit, 0.0)
+        out = out + jnp.where((sp.valid & ~occ)[:, None], lit, 0.0)
 
     # ---- spot lights (src/Light.cpp:327-436) ----
     for i in range(lights.spot_pos.shape[0]):
@@ -116,9 +126,7 @@ def direct_lighting(scene: T.Scene, sp: ShadePoint, key: jax.Array
         topoint = pos[None, :] - sp.point
         d_light = norm(topoint)
         wi = topoint / d_light[:, None]
-        occ_hit, occ_point = _shadow_query(scene, sp, wi)
-        d_occ = norm(_sg(sp.point) - occ_point)
-        shadowed = occ_hit & (_sg(d_light) > d_occ)
+        shadowed = _occluded(scene, sp, wi, d_light)
         contribution = lights.spot_intensity[i][None, :] / (d_light * d_light)[:, None]
         lit = _lit_color(sp, mats, wi, contribution)
         # falloff (src/Light.cpp:338-348, 409-436); double-where: dead lanes
@@ -144,9 +152,7 @@ def direct_lighting(scene: T.Scene, sp: ShadePoint, key: jax.Array
         tosample = sample - sp.point
         d_light = norm(tosample)
         wi = tosample / d_light[:, None]
-        occ_hit, occ_point = _shadow_query(scene, sp, wi)
-        d_occ = norm(_sg(sp.point) - occ_point)
-        shadowed = occ_hit & (_sg(d_light) > d_occ)
+        shadowed = _occluded(scene, sp, wi, d_light)
         # factor = size^2 cos/d^2 (src/Light.cpp:457-463)
         cos_l = jnp.abs(dot(-wi, lights.area_normal[i][None, :]))
         factor = (size * size) * cos_l / (d_light * d_light)
@@ -170,10 +176,10 @@ def direct_lighting(scene: T.Scene, sp: ShadePoint, key: jax.Array
         wi = (u * (r * jnp.cos(phi))[:, None] + n * z[:, None]
               + w * (r * jnp.sin(phi))[:, None])
         wi = normalize(wi)
-        occ_hit, _ = _shadow_query(scene, sp, wi)
+        occ = _occluded(scene, sp, wi, None)
         radiance = env_radiance(scene, wi) * (2.0 * jnp.pi)
         lit = _lit_color(sp, mats, wi, radiance)
-        out = out + jnp.where((sp.valid & ~occ_hit)[:, None], lit, 0.0)
+        out = out + jnp.where((sp.valid & ~occ)[:, None], lit, 0.0)
 
     return out
 

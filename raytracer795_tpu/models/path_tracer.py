@@ -127,15 +127,19 @@ def _object_light_nee(scene: T.Scene, sp: ShadePoint, key) -> jnp.ndarray:
         dist = jnp.sqrt(jnp.where(d2 > 0, d2, 1.0))
         dist = jnp.where(d2 > 0, dist, 1.0)
         wi = to_l / dist[:, None]
-        # occlusion: hit strictly closer than the sample point. Discrete
-        # visibility — compare on stop-gradient values (miss-lane occ_point
-        # is inf; its norm VJP would NaN the backward pass).
-        o = sp.point + sp.normal * eps
-        occ_hit, occ_point = intersect.trace_occlusion(
-            scene, intersect.Rays(o=o, d=wi, time=sp.time))
+        # occlusion: any hit strictly closer than the sample point (the
+        # backface-shadow fix of pages/Page7.md:143). Distance-compare
+        # |eps*n + t*wi| < dist - 2*eps solved for the exact t_cap; fully
+        # stop-gradient — visibility is discrete.
         sg = jax.lax.stop_gradient
-        d_occ = jnp.linalg.norm(sg(sp.point) - occ_point, axis=-1)
-        visible = ~(occ_hit & (d_occ < sg(dist) - 2.0 * eps))
+        o = sp.point + sp.normal * eps
+        c = sg(dot(sp.normal, wi))
+        dlim = sg(dist) - 2.0 * eps
+        rad = jnp.maximum(eps * eps * (c * c - 1.0) + dlim * dlim, 0.0)
+        t_cap = -eps * c + jnp.sqrt(rad)
+        occluded = intersect.trace_anyhit(
+            scene, intersect.Rays(o=o, d=wi, time=sp.time), t_cap)
+        visible = ~occluded
         cos_x = jnp.maximum(0.0, dot(sp.normal, wi))
         cos_l = jnp.abs(dot(lnormal, -wi))
         f = _pt_brdf(wi, sp.wo, sp.normal, mats, sp.mat)

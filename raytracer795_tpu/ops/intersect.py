@@ -123,9 +123,67 @@ def _bbox_pass(group: T.TraceGroup, local: Rays) -> jnp.ndarray:
     return jnp.concatenate([ok, jnp.ones((N, 1), bool)], axis=1)
 
 
+# Below this many primitives, the brute sweep unrolls a per-primitive Python
+# loop of flat [N] ops instead of materializing [N, C(,3)] temporaries: a
+# [N, 26]-shaped array pads the TPU's 128-wide lane axis ~5x and burns HBM
+# bandwidth on padding, while [N]-shaped chains tile perfectly and fuse into
+# a handful of passes over the ray batch.
+_UNROLL_PRIMS = 96
+
+
+def _tri_candidates_unrolled(scene: T.Scene, group: T.TraceGroup, local: Rays,
+                             bbox_ok: jnp.ndarray):
+    """Per-prim unrolled nearest-triangle sweep (small groups, lane-shaped).
+
+    Same math and accept/ranking semantics as ``_tri_candidates`` — Cramer
+    solve of src/Shape.cpp:120-132 with the |t| ranking of
+    src/BVH.cpp:165-171 — but every intermediate is [N], so XLA emits
+    full-width VPU code with no primitive-axis padding.
+    """
+    verts = scene.vertices
+    a_all = verts[group.tri_vidx[:, 0]]     # [T, 3] one-time gathers
+    b_all = verts[group.tri_vidx[:, 1]]
+    c_all = verts[group.tri_vidx[:, 2]]
+    int_eps = scene.int_eps
+    o, d = local.o, local.d
+    N = o.shape[0]
+
+    best_key = jnp.full((N,), _BIG)
+    best_t = jnp.zeros((N,))
+    best_idx = jnp.zeros((N,), jnp.int32)
+    n_obj = bbox_ok.shape[1] - 1
+
+    for ti in range(group.n_tris):
+        a, b, c = a_all[ti], b_all[ti], c_all[ti]   # static slices
+        e1 = a - b
+        e2 = a - c
+        n_geo = jnp.cross(e1, e2)
+        ao = a[None, :] - o                         # [N, 3]
+        e2xd = jnp.cross(e2[None, :], d)
+        det = jnp.sum(e1[None, :] * e2xd, axis=-1)  # [N]
+        inv_det = 1.0 / det
+        beta = jnp.sum(ao * e2xd, axis=-1) * inv_det
+        e1xd = jnp.cross(e1[None, :], d)
+        gamma = -jnp.sum(ao * e1xd, axis=-1) * inv_det
+        t = jnp.sum(n_geo[None, :] * ao, axis=-1) * inv_det
+        ok = ((t >= -int_eps) & (beta >= -int_eps) & (gamma >= -int_eps)
+              & (beta + gamma <= 1.0))
+        obj = jnp.where(group.tri_obj[ti] < 0, n_obj, group.tri_obj[ti])
+        ok = ok & jnp.take(bbox_ok, obj, axis=1)
+        key = jnp.where(ok, jnp.abs(t), _BIG)
+        upd = key < best_key
+        best_t = jnp.where(upd, t, best_t)
+        best_idx = jnp.where(upd, ti, best_idx)
+        best_key = jnp.minimum(best_key, key)
+
+    return best_key, best_t, best_idx
+
+
 def _tri_candidates(scene: T.Scene, group: T.TraceGroup, local: Rays,
                     bbox_ok: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Nearest triangle per ray: (|t|-ranked best t, prim index)."""
+    if group.n_tris <= _UNROLL_PRIMS:
+        return _tri_candidates_unrolled(scene, group, local, bbox_ok)
     verts = scene.vertices
     a = verts[group.tri_vidx[:, 0]]     # [T, 3]
     b = verts[group.tri_vidx[:, 1]]
@@ -174,9 +232,48 @@ def _tri_candidates(scene: T.Scene, group: T.TraceGroup, local: Rays,
     return best_key, best_t, best_idx
 
 
+def _sphere_candidates_unrolled(scene: T.Scene, group: T.TraceGroup,
+                                local: Rays):
+    """Per-prim unrolled sphere sweep (lane-shaped, see _UNROLL_PRIMS)."""
+    centers = scene.vertices[group.sph_cidx]        # [S, 3]
+    radii = group.sph_radius
+    int_eps = scene.int_eps
+    o, d = local.o, local.d
+    N = o.shape[0]
+    dd = jnp.sum(d * d, axis=-1)                    # [N]
+
+    best_key = jnp.full((N,), _BIG)
+    best_t = jnp.zeros((N,))
+    best_idx = jnp.zeros((N,), jnp.int32)
+
+    for si in range(group.n_spheres):
+        center, r = centers[si], radii[si]
+        oc = o - center[None, :]
+        b = jnp.sum(d * oc, axis=-1)
+        cq = jnp.sum(oc * oc, axis=-1) - r * r
+        disc = b * b - dd * cq
+        ok = disc >= int_eps
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-b + sq) / dd
+        t2 = (-b - sq) / dd
+        t = jnp.where((t1 >= 0) & (t2 < 0), t1,
+                      jnp.where((t2 >= 0) & (t1 < 0), t2,
+                                jnp.minimum(t1, t2)))
+        ok = ok & ~((t1 < 0) & (t2 < 0))
+        key = jnp.where(ok, jnp.abs(t), _BIG)
+        upd = key < best_key
+        best_t = jnp.where(upd, t, best_t)
+        best_idx = jnp.where(upd, si, best_idx)
+        best_key = jnp.minimum(best_key, key)
+
+    return best_key, best_t, best_idx
+
+
 def _sphere_candidates(scene: T.Scene, group: T.TraceGroup, local: Rays
                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Nearest sphere per ray (quadratic, src/Shape.cpp:347-388)."""
+    if group.n_spheres <= _UNROLL_PRIMS:
+        return _sphere_candidates_unrolled(scene, group, local)
     centers = scene.vertices[group.sph_cidx]        # [S, 3]
     r = group.sph_radius                            # [S]
     int_eps = scene.int_eps
@@ -350,6 +447,118 @@ def trace(scene: T.Scene, rays: Rays) -> Hit:
                is_sphere=best_sph)
 
 
+def _tri_bvh_anyhit(scene: T.Scene, group: T.TraceGroup, local: Rays,
+                    t_cap: jnp.ndarray) -> jnp.ndarray:
+    """Any accepted triangle with t in (0, t_cap)? Early-exit BVH walk.
+
+    Same skip-link lockstep walk as ``_tri_bvh_candidates`` with two shadow
+    optimizations: nodes whose entry distance exceeds t_cap are pruned, and
+    a lane retires the moment it finds any qualifying hit (the reference
+    runs full nearest-hit for shadows, src/Light.cpp:188-204 — an any-hit
+    needs none of that bookkeeping).
+    """
+    bvh: T.FlatBVH = jax.tree_util.tree_map(jnp.asarray, group.bvh)
+    n_nodes = bvh.bmin.shape[0]
+    n_tris = group.n_tris
+    K = bvh.max_leaf
+    int_eps = scene.int_eps
+
+    verts = jnp.asarray(scene.vertices)
+    a = verts[group.tri_vidx[:, 0]]
+    b = verts[group.tri_vidx[:, 1]]
+    c = verts[group.tri_vidx[:, 2]]
+    e1 = a - b
+    e2 = a - c
+
+    o, d = local.o, local.d
+    N = o.shape[0]
+    inv_d = 1.0 / d
+
+    dead = (jnp.any(jnp.isnan(o) | jnp.isnan(d), axis=-1)
+            | jnp.all(d == 0.0, axis=-1))
+    node0 = jnp.where(dead, n_nodes, 0).astype(jnp.int32)
+
+    def cond(state):
+        return jnp.any(state[0] < n_nodes)
+
+    def body(state):
+        node, found = state
+        active = node < n_nodes
+        ni = jnp.minimum(node, n_nodes - 1)
+        bmin = bvh.bmin[ni]
+        bmax = bvh.bmax[ni]
+        pos = d > 0
+        t_e = jnp.where(pos, (bmin - o) * inv_d, (bmax - o) * inv_d)
+        t_l = jnp.where(pos, (bmax - o) * inv_d, (bmin - o) * inv_d)
+        entry = jnp.max(t_e, axis=-1)
+        exit_ = jnp.min(t_l, axis=-1)
+        box_hit = ~(exit_ < entry) & ~(entry > t_cap)
+        cnt = bvh.count[ni]
+        is_leaf = cnt > 0
+        first = bvh.first[ni]
+
+        do_leaf = active & box_hit & is_leaf
+        for j in range(K):
+            pi = jnp.clip(first + j, 0, n_tris - 1)
+            ok_j = do_leaf & (j < cnt)
+            ac, e1c, e2c = a[pi], e1[pi], e2[pi]
+            ao = ac - o
+            e2xd = jnp.cross(e2c, d)
+            det = jnp.sum(e1c * e2xd, axis=-1)
+            inv_det = 1.0 / det
+            beta = jnp.sum(ao * e2xd, axis=-1) * inv_det
+            e1xd = jnp.cross(e1c, d)
+            gamma = -jnp.sum(ao * e1xd, axis=-1) * inv_det
+            t = jnp.sum(jnp.cross(e1c, e2c) * ao, axis=-1) * inv_det
+            ok = (ok_j & (t >= -int_eps) & (beta >= -int_eps)
+                  & (gamma >= -int_eps) & (beta + gamma <= 1.0)
+                  & (t > 0) & (t < t_cap))
+            found = found | ok
+
+        nxt = jnp.where(box_hit & ~is_leaf, node + 1, bvh.miss[ni])
+        nxt = jnp.where(found, n_nodes, nxt)        # early exit
+        node = jnp.where(active, nxt, node).astype(jnp.int32)
+        return node, found
+
+    _, found = jax.lax.while_loop(cond, body, (node0, jnp.zeros((N,), bool)))
+    return found
+
+
+def trace_anyhit(scene: T.Scene, rays: Rays, t_cap) -> jnp.ndarray:
+    """Occlusion query: any primitive with world t in (0, t_cap)? [N] bool.
+
+    Cheaper than ``trace`` for shadows: no |t| ranking, no argmin winner
+    bookkeeping, early-exit BVH walk. Semantics deviation (documented): the
+    reference shadows via the full nearest-hit dispatch, whose per-object
+    |t| ranking can let a *backface at negative t* mask a real positive-t
+    occluder (src/BVH.cpp:165-171); the any-hit reports the physically
+    correct answer in that corner case. Everything is stop-gradient —
+    visibility is discrete.
+    """
+    sg = jax.lax.stop_gradient
+    scene = jax.tree_util.tree_map(sg, scene)
+    rays = jax.tree_util.tree_map(sg, rays)
+    t_cap = sg(jnp.broadcast_to(jnp.asarray(t_cap, jnp.float32),
+                                rays.o.shape[:1]))
+    N = rays.o.shape[0]
+    found = jnp.zeros((N,), bool)
+
+    for group in scene.groups:
+        local = _transform_rays(group, rays)
+        if group.n_tris:
+            if group.bvh is not None:
+                found = found | _tri_bvh_anyhit(scene, group, local, t_cap)
+            else:
+                bbox_ok = _bbox_pass(group, local)
+                k, t, _ = _tri_candidates(scene, group, local, bbox_ok)
+                found = found | ((k < _BIG) & (t > 0) & (t < t_cap))
+        if group.n_spheres:
+            k, t, _ = _sphere_candidates(scene, group, local)
+            found = found | ((k < _BIG) & (t > 0) & (t < t_cap))
+
+    return found
+
+
 def trace_occlusion(scene: T.Scene, rays: Rays) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Shadow query: (any hit, world hit point).
 
@@ -402,7 +611,24 @@ def compute_vertex_normals(scene: T.Scene) -> jnp.ndarray:
 
 def hit_details(scene: T.Scene, rays: Rays, hit: Hit,
                 vertex_normals: jnp.ndarray) -> HitDetails:
-    """Phase 2: full geometric attributes for each ray's winning primitive."""
+    """Phase 2: full geometric attributes for each ray's winning primitive.
+
+    ONE gather pass regardless of group count: the per-group primitive
+    tables are concatenated (under jit — XLA materializes them once per
+    compiled program) and every lane gathers its winner through a global id
+    ``offset[group] + prim``. Per-group transforms are gathered the same way
+    ([G, 4, 4] stack indexed by the winning group), so instance-heavy scenes
+    (the reference's metal_glass/instanced scenes, src/Helper.cpp:53-73)
+    cost the same as single-object ones — unlike the reference's per-object
+    dispatch loop (src/Helper.cpp:18-80).
+
+    This is also the ONLY differentiable geometry path: ``trace`` is
+    stop-gradient, and the winner's t / bary / quadratic are recomputed here
+    (same op order as the trace, so forward bits are identical) with
+    masked-lane guards everywhere a dead lane's garbage would NaN the VJP.
+    """
+    import numpy as np
+
     N = rays.o.shape[0]
     zeros3 = jnp.zeros((N, 3))
     zeros2 = jnp.zeros((N, 2))
@@ -424,121 +650,143 @@ def hit_details(scene: T.Scene, rays: Rays, hit: Hit,
     )
 
     verts = jnp.asarray(scene.vertices)
-    for gi, group in enumerate(scene.groups):
-        # host (numpy) leaves cannot be indexed by traced winner ids
-        group = jax.tree_util.tree_map(jnp.asarray, group)
-        in_group = hit.valid & (hit.group == gi)
-        local = _transform_rays(group, rays)
-        minv_t3 = group.minv_t[:3, :3]
+    groups = [jax.tree_util.tree_map(jnp.asarray, g) for g in scene.groups]
+    if not groups:
+        return out
+    g = hit.group
 
-        if group.n_tris:
-            sel = in_group & ~hit.is_sphere
-            pi = jnp.clip(hit.prim, 0, group.n_tris - 1)
-            vidx = group.tri_vidx[pi]                   # [N, 3]
-            a, b, c = verts[vidx[:, 0]], verts[vidx[:, 1]], verts[vidx[:, 2]]
-            # Recompute bary AND t for the winner (the same Cramer system the
-            # trace solved, src/Shape.cpp:120-132) — this is where gradients
-            # flow: the trace is stop-gradient, so t must be re-derived here
-            # from the (differentiable) vertices/ray. Same op order as
-            # _tri_candidates so the forward bits are identical.
-            e1, e2 = a - b, a - c
-            e2xd = jnp.cross(e2, local.d)
-            det = jnp.sum(e1 * e2xd, axis=-1)
-            # masked-lane hygiene: non-winning lanes carry a clipped garbage
-            # primitive whose det may be 0; 1/0 there NaNs the backward pass
-            # even under jnp.where. Winners always have det != 0 (a zero det
-            # can never pass the accept tests).
-            inv_det = 1.0 / jnp.where(det != 0, det, 1.0)
-            ao = a - local.o
-            beta = jnp.sum(ao * e2xd, axis=-1) * inv_det
-            e1xd = jnp.cross(e1, local.d)
-            gamma = -jnp.sum(ao * e1xd, axis=-1) * inv_det
-            t_tri = jnp.sum(jnp.cross(e1, e2) * ao, axis=-1) * inv_det
-            alpha = 1.0 - beta - gamma
-            lpoint = local.o + t_tri[:, None] * local.d
-            smooth = group.tri_smooth[pi]
-            n_flat = jnp.cross(c - b, a - b)
-            n_smooth = (vertex_normals[vidx[:, 0]] * alpha[:, None]
-                        + vertex_normals[vidx[:, 1]] * beta[:, None]
-                        + vertex_normals[vidx[:, 2]] * gamma[:, None])
-            n = jnp.where(smooth[:, None], n_smooth, n_flat)
-            n = masked_normalize(sel, n)
-            # uv rows: vidx + per-tri uv offset (src/Shape.cpp:515-517)
-            uvoff = group.tri_uvoff[pi]
-            texcoords = jnp.asarray(scene.texcoords)
-            ntc = texcoords.shape[0]
-            uvi = jnp.clip(vidx + uvoff[:, None], 0, ntc - 1)
-            uv0 = texcoords[uvi[:, 0]]
-            uv1 = texcoords[uvi[:, 1]]
-            uv2 = texcoords[uvi[:, 2]]
-            uv = uv0 * alpha[:, None] + uv1 * beta[:, None] + uv2 * gamma[:, None]
-            m = sel[:, None]
-            out = out._replace(
-                point=jnp.where(m, rays.o + t_tri[:, None] * rays.d, out.point),
-                t=jnp.where(sel, t_tri, out.t),
-                normal=jnp.where(m, n, out.normal),
-                mat=jnp.where(sel, group.tri_mat[pi], out.mat),
-                tex0=jnp.where(sel, group.tri_tex0[pi], out.tex0),
-                tex1=jnp.where(sel, group.tri_tex1[pi], out.tex1),
-                uv=jnp.where(m, uv, out.uv),
-                local_point=jnp.where(m, lpoint, out.local_point),
-                tri_e1=jnp.where(m, b - a, out.tri_e1),
-                tri_e2=jnp.where(m, c - a, out.tri_e2),
-                tri_uv0=jnp.where(m, uv0, out.tri_uv0),
-                tri_uv1=jnp.where(m, uv1, out.tri_uv1),
-                tri_uv2=jnp.where(m, uv2, out.tri_uv2),
-                minv_t=jnp.where(sel[:, None, None], minv_t3[None], out.minv_t),
-                emission=jnp.where(m, group.tri_emis[pi], out.emission),
-            )
+    # ---- per-lane local ray via gathered group transforms ----
+    minv = jnp.stack([gr.minv for gr in groups])            # [G, 4, 4]
+    minv_t3 = jnp.stack([gr.minv_t[:3, :3] for gr in groups])
+    blur = jnp.stack([gr.blur for gr in groups])            # [G, 3]
+    mv = minv[g]                                            # [N, 4, 4]
+    o_b = rays.o - blur[g] * rays.time[:, None]
+    local_o = jnp.sum(mv[:, :3, :3] * o_b[:, None, :], axis=-1) + mv[:, :3, 3]
+    local_d = jnp.sum(mv[:, :3, :3] * rays.d[:, None, :], axis=-1)
+    lane_minv_t = minv_t3[g]                                # [N, 3, 3]
 
-        if group.n_spheres:
-            sel = in_group & hit.is_sphere
-            pi = jnp.clip(hit.prim, 0, group.n_spheres - 1)
-            center = verts[group.sph_cidx[pi]]          # [N, 3]
-            radius = group.sph_radius[pi]
-            # recompute the winner's t (quadratic of src/Shape.cpp:347-388,
-            # same op order as _sphere_candidates) so center/radius/ray grads
-            # flow through the implicit hit point.
-            oc = local.o - center
-            dd = jnp.sum(local.d * local.d, axis=-1)
-            bq = jnp.sum(local.d * oc, axis=-1)
-            cq = jnp.sum(oc * oc, axis=-1) - radius * radius
-            disc = bq * bq - dd * cq
-            # winners have disc >= int_eps > 0 and dd > 0; guard dead lanes
-            sq = jnp.sqrt(jnp.where(disc > 0, disc, 1.0)) * (disc > 0)
-            inv_dd = 1.0 / jnp.where(dd != 0, dd, 1.0)
-            t1 = (-bq + sq) * inv_dd
-            t2 = (-bq - sq) * inv_dd
-            t_sph = jnp.where((t1 >= 0) & (t2 < 0), t1,
-                              jnp.where((t2 >= 0) & (t1 < 0), t2,
-                                        jnp.minimum(t1, t2)))
-            lpoint = local.o + t_sph[:, None] * local.d
-            lc = lpoint - center
-            n = masked_normalize(sel, lc)       # local-space normal
-            # sphere UV from local spherical coords (src/Shape.cpp:413-417);
-            # double-where on the arccos input: dead lanes clip to +/-1 where
-            # arccos' derivative is infinite.
-            cos_theta = jnp.clip(lc[:, 1] / jnp.where(radius > 0, radius, 1.0),
-                                 -1.0, 1.0)
-            theta = jnp.arccos(jnp.where(sel, cos_theta, 0.0))
-            phi = jnp.arctan2(lc[:, 2], jnp.where(sel, lc[:, 0], 1.0))
-            u = (-phi + jnp.pi) / (2.0 * jnp.pi)
-            v = theta / jnp.pi
-            uv = jnp.stack([u, v], axis=-1)
-            m = sel[:, None]
-            out = out._replace(
-                point=jnp.where(m, rays.o + t_sph[:, None] * rays.d, out.point),
-                t=jnp.where(sel, t_sph, out.t),
-                normal=jnp.where(m, n, out.normal),
-                mat=jnp.where(sel, group.sph_mat[pi], out.mat),
-                tex0=jnp.where(sel, group.sph_tex0[pi], out.tex0),
-                tex1=jnp.where(sel, group.sph_tex1[pi], out.tex1),
-                uv=jnp.where(m, uv, out.uv),
-                local_point=jnp.where(m, lpoint, out.local_point),
-                local_center=jnp.where(m, center, out.local_center),
-                radius=jnp.where(sel, radius, out.radius),
-                minv_t=jnp.where(sel[:, None, None], minv_t3[None], out.minv_t),
-                emission=jnp.where(m, group.sph_emis[pi], out.emission),
-            )
+    # host-side global-id offsets from static per-group counts
+    tri_offs = np.cumsum([0] + [gr.n_tris for gr in groups])
+    sph_offs = np.cumsum([0] + [gr.n_spheres for gr in groups])
+    n_tris_total = int(tri_offs[-1])
+    n_sph_total = int(sph_offs[-1])
+
+    def concat(field, kinds):
+        arrs = [getattr(gr, field) for gr, n in kinds if n]
+        return jnp.concatenate(arrs, axis=0)
+
+    tri_kinds = [(gr, gr.n_tris) for gr in groups]
+    sph_kinds = [(gr, gr.n_spheres) for gr in groups]
+
+    if n_tris_total:
+        sel = hit.valid & ~hit.is_sphere
+        tid = jnp.clip(jnp.asarray(tri_offs, jnp.int32)[g] + hit.prim,
+                       0, n_tris_total - 1)
+        vidx = concat("tri_vidx", tri_kinds)[tid]           # [N, 3]
+        a, b, c = verts[vidx[:, 0]], verts[vidx[:, 1]], verts[vidx[:, 2]]
+        # Recompute bary AND t for the winner (the same Cramer system the
+        # trace solved, src/Shape.cpp:120-132) — this is where gradients
+        # flow. Same op order as _tri_candidates: identical forward bits.
+        e1, e2 = a - b, a - c
+        e2xd = jnp.cross(e2, local_d)
+        det = jnp.sum(e1 * e2xd, axis=-1)
+        # masked-lane hygiene: dead lanes gather a clipped garbage primitive
+        # whose det may be 0; 1/0 there NaNs the backward pass even under
+        # jnp.where. Winners always have det != 0.
+        inv_det = 1.0 / jnp.where(det != 0, det, 1.0)
+        ao = a - local_o
+        beta = jnp.sum(ao * e2xd, axis=-1) * inv_det
+        e1xd = jnp.cross(e1, local_d)
+        gamma = -jnp.sum(ao * e1xd, axis=-1) * inv_det
+        t_tri = jnp.sum(jnp.cross(e1, e2) * ao, axis=-1) * inv_det
+        alpha = 1.0 - beta - gamma
+        lpoint = local_o + t_tri[:, None] * local_d
+        smooth = concat("tri_smooth", tri_kinds)[tid]
+        n_flat = jnp.cross(c - b, a - b)
+        n_smooth = (vertex_normals[vidx[:, 0]] * alpha[:, None]
+                    + vertex_normals[vidx[:, 1]] * beta[:, None]
+                    + vertex_normals[vidx[:, 2]] * gamma[:, None])
+        n = jnp.where(smooth[:, None], n_smooth, n_flat)
+        n = masked_normalize(sel, n)
+        # uv rows: vidx + per-tri uv offset (src/Shape.cpp:515-517)
+        uvoff = concat("tri_uvoff", tri_kinds)[tid]
+        texcoords = jnp.asarray(scene.texcoords)
+        ntc = texcoords.shape[0]
+        uvi = jnp.clip(vidx + uvoff[:, None], 0, ntc - 1)
+        uv0 = texcoords[uvi[:, 0]]
+        uv1 = texcoords[uvi[:, 1]]
+        uv2 = texcoords[uvi[:, 2]]
+        uv = uv0 * alpha[:, None] + uv1 * beta[:, None] + uv2 * gamma[:, None]
+        m = sel[:, None]
+        out = out._replace(
+            point=jnp.where(m, rays.o + t_tri[:, None] * rays.d, out.point),
+            t=jnp.where(sel, t_tri, out.t),
+            normal=jnp.where(m, n, out.normal),
+            mat=jnp.where(sel, concat("tri_mat", tri_kinds)[tid], out.mat),
+            tex0=jnp.where(sel, concat("tri_tex0", tri_kinds)[tid], out.tex0),
+            tex1=jnp.where(sel, concat("tri_tex1", tri_kinds)[tid], out.tex1),
+            uv=jnp.where(m, uv, out.uv),
+            local_point=jnp.where(m, lpoint, out.local_point),
+            tri_e1=jnp.where(m, b - a, out.tri_e1),
+            tri_e2=jnp.where(m, c - a, out.tri_e2),
+            tri_uv0=jnp.where(m, uv0, out.tri_uv0),
+            tri_uv1=jnp.where(m, uv1, out.tri_uv1),
+            tri_uv2=jnp.where(m, uv2, out.tri_uv2),
+            minv_t=jnp.where(sel[:, None, None], lane_minv_t, out.minv_t),
+            emission=jnp.where(m, concat("tri_emis", tri_kinds)[tid],
+                               out.emission),
+        )
+
+    if n_sph_total:
+        sel = hit.valid & hit.is_sphere
+        sid = jnp.clip(jnp.asarray(sph_offs, jnp.int32)[g] + hit.prim,
+                       0, n_sph_total - 1)
+        center = verts[concat("sph_cidx", sph_kinds)[sid]]  # [N, 3]
+        radius = concat("sph_radius", sph_kinds)[sid]
+        # recompute the winner's t (quadratic of src/Shape.cpp:347-388,
+        # same op order as _sphere_candidates) so center/radius/ray grads
+        # flow through the implicit hit point.
+        oc = local_o - center
+        dd = jnp.sum(local_d * local_d, axis=-1)
+        bq = jnp.sum(local_d * oc, axis=-1)
+        cq = jnp.sum(oc * oc, axis=-1) - radius * radius
+        disc = bq * bq - dd * cq
+        # winners have disc >= int_eps > 0 and dd > 0; guard dead lanes
+        sq = jnp.sqrt(jnp.where(disc > 0, disc, 1.0)) * (disc > 0)
+        inv_dd = 1.0 / jnp.where(dd != 0, dd, 1.0)
+        t1 = (-bq + sq) * inv_dd
+        t2 = (-bq - sq) * inv_dd
+        t_sph = jnp.where((t1 >= 0) & (t2 < 0), t1,
+                          jnp.where((t2 >= 0) & (t1 < 0), t2,
+                                    jnp.minimum(t1, t2)))
+        lpoint = local_o + t_sph[:, None] * local_d
+        lc = lpoint - center
+        n = masked_normalize(sel, lc)       # local-space normal
+        # sphere UV from local spherical coords (src/Shape.cpp:413-417);
+        # double-where on the arccos input: dead lanes clip to +/-1 where
+        # arccos' derivative is infinite.
+        cos_theta = jnp.clip(lc[:, 1] / jnp.where(radius > 0, radius, 1.0),
+                             -1.0, 1.0)
+        theta = jnp.arccos(jnp.where(sel, cos_theta, 0.0))
+        phi = jnp.arctan2(lc[:, 2], jnp.where(sel, lc[:, 0], 1.0))
+        u = (-phi + jnp.pi) / (2.0 * jnp.pi)
+        v = theta / jnp.pi
+        uv = jnp.stack([u, v], axis=-1)
+        m = sel[:, None]
+        out = out._replace(
+            point=jnp.where(m, rays.o + t_sph[:, None] * rays.d, out.point),
+            t=jnp.where(sel, t_sph, out.t),
+            normal=jnp.where(m, n, out.normal),
+            mat=jnp.where(sel, concat("sph_mat", sph_kinds)[sid], out.mat),
+            tex0=jnp.where(sel, concat("sph_tex0", sph_kinds)[sid], out.tex0),
+            tex1=jnp.where(sel, concat("sph_tex1", sph_kinds)[sid], out.tex1),
+            uv=jnp.where(m, uv, out.uv),
+            local_point=jnp.where(m, lpoint, out.local_point),
+            local_center=jnp.where(m, center, out.local_center),
+            radius=jnp.where(sel, radius, out.radius),
+            minv_t=jnp.where(sel[:, None, None], lane_minv_t, out.minv_t),
+            emission=jnp.where(m, concat("sph_emis", sph_kinds)[sid],
+                               out.emission),
+        )
 
     return out

@@ -38,9 +38,12 @@ def _integrator(scene: T.Scene):
     return functools.partial(whitted.render_rays, differentiable=False)
 
 
-def _pixel_uv(nx: int, ny: int, repeat: int) -> jnp.ndarray:
+def _pixel_uv(nx: int, ny: int, repeat: int, row0=0,
+              n_rows: int | None = None) -> jnp.ndarray:
+    if n_rows is None:
+        n_rows = ny
     xs = jnp.arange(nx).astype(jnp.float32) / nx
-    ys = jnp.arange(ny).astype(jnp.float32) / ny
+    ys = (row0 + jnp.arange(n_rows)).astype(jnp.float32) / ny
     uv = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1).reshape(-1, 2)
     if repeat > 1:
         uv = jnp.repeat(uv, repeat, axis=0)
@@ -68,26 +71,35 @@ def _background_radiance(scene: T.Scene, rays: intersect.Rays,
     return jnp.broadcast_to(scene.background, (n, 3))
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _render_single(scene: T.Scene, cam, key):
-    """1-spp frame: center-of-pixel rays (src/Scene.cpp:365-384)."""
-    rays = camera_model.primary_rays(cam)
-    bg = _background_radiance(scene, rays, _pixel_uv(cam.nx, cam.ny, 1), True)
-    out = _integrator(scene)(scene, rays, bg, key)
-    return out.reshape(cam.ny, cam.nx, 3)
-
-
 @functools.partial(jax.jit, static_argnums=(1, 4))
-def _render_sample_range(scene: T.Scene, cam, key, base, count: int):
-    """Mean over jittered samples [base, base+count) for every pixel.
+def _render_single(scene: T.Scene, cam, key, row0, n_rows: int):
+    """1-spp row band: center-of-pixel rays (src/Scene.cpp:365-384).
 
-    ``base`` is traced so all chunks of a frame share one compilation.
+    ``row0`` is traced, ``n_rows`` static: frames over the lane budget tile
+    into horizontal bands sharing one compilation.
     """
-    rays = camera_model.sample_rays_range(cam, key, base, count)
-    bg = _background_radiance(scene, rays, _pixel_uv(cam.nx, cam.ny, count),
-                              False)
+    rays = camera_model.primary_rays(cam, row0, n_rows)
+    bg = _background_radiance(
+        scene, rays, _pixel_uv(cam.nx, cam.ny, 1, row0, n_rows), True)
     out = _integrator(scene)(scene, rays, bg, key)
-    return out.reshape(cam.ny, cam.nx, count, 3).mean(axis=2)
+    return out.reshape(n_rows, cam.nx, 3)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 4, 6))
+def _render_sample_range(scene: T.Scene, cam, key, base, count: int,
+                         row0, n_rows: int):
+    """Mean over jittered samples [base, base+count) for a pixel row band.
+
+    ``base`` and ``row0`` are traced so all chunks/bands of a frame share
+    one compilation.
+    """
+    if n_rows < cam.ny:     # decorrelate bands (full frames keep old stream)
+        key = jax.random.fold_in(key, row0)
+    rays = camera_model.sample_rays_range(cam, key, base, count, row0, n_rows)
+    bg = _background_radiance(
+        scene, rays, _pixel_uv(cam.nx, cam.ny, count, row0, n_rows), False)
+    out = _integrator(scene)(scene, rays, bg, key)
+    return out.reshape(n_rows, cam.nx, count, 3).mean(axis=2)
 
 
 class _HashableCamera:
@@ -125,20 +137,38 @@ def render_camera(loaded: T.LoadedScene, cam_index: int = 0,
     key = jax.random.PRNGKey(seed)
     fcam = _HashableCamera(cam)
 
-    if cam.num_samples <= 1:
-        return np.asarray(_render_single(scene, fcam, key))
+    # Row-band tiling keeps every launch under the lane budget even when a
+    # single 1-spp frame exceeds it (e.g. 1600x1600); the sample dimension
+    # chunks within each band.
+    band = cam.ny if cam.nx * cam.ny <= MAX_LANES \
+        else max(1, MAX_LANES // cam.nx)
 
-    chunk = max(1, MAX_LANES // (cam.nx * cam.ny))
+    if cam.num_samples <= 1:
+        if band >= cam.ny:
+            return np.asarray(_render_single(scene, fcam, key, 0, cam.ny))
+        film = np.empty((cam.ny, cam.nx, 3), np.float32)
+        for row0 in range(0, cam.ny, band):
+            rows = min(band, cam.ny - row0)
+            film[row0:row0 + rows] = np.asarray(
+                _render_single(scene, fcam, key, row0, rows))
+        return film
+
+    chunk = max(1, MAX_LANES // (cam.nx * band))
     total = cam.num_samples
-    acc = None
-    done = 0
-    while done < total:
-        s = min(chunk, total - done)
-        img = _render_sample_range(scene, fcam, jax.random.fold_in(key, done),
-                                   done, s)
-        acc = img * s if acc is None else acc + img * s
-        done += s
-    return np.asarray(acc / total)
+    film = np.zeros((cam.ny, cam.nx, 3), np.float32)
+    for row0 in range(0, cam.ny, band):
+        rows = min(band, cam.ny - row0)
+        acc = None
+        done = 0
+        while done < total:
+            s = min(chunk, total - done)
+            img = _render_sample_range(
+                scene, fcam, jax.random.fold_in(key, done), done, s,
+                row0, rows)
+            acc = img * s if acc is None else acc + img * s
+            done += s
+        film[row0:row0 + rows] = np.asarray(acc / total)
+    return film
 
 
 def render_scene(loaded: T.LoadedScene, out_dir: str = ".",

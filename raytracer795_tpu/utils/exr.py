@@ -130,11 +130,28 @@ def read_exr(path: str) -> np.ndarray:
     return out
 
 
-def write_exr(path: str, image: np.ndarray) -> None:
-    """Write [H, W, 3] float RGB as half-float B/G/R scanline EXR (NONE).
+def _predict_and_deinterleave(raw: bytes) -> bytes:
+    """Inverse of ``_unpredict_and_interleave`` (OpenEXR ZIP reorder+delta)."""
+    d = np.frombuffer(raw, dtype=np.uint8)
+    n = len(d)
+    half = (n + 1) // 2
+    t = np.empty(n, dtype=np.uint8)
+    t[:half] = d[0::2]
+    t[half:] = d[1::2]
+    e = t.astype(np.int16)
+    e[1:] = e[1:] - t[:-1].astype(np.int16) + 128
+    return (e & 0xFF).astype(np.uint8).tobytes()
+
+
+def write_exr(path: str, image: np.ndarray, compression: str = "none"
+              ) -> None:
+    """Write [H, W, 3] float RGB as half-float B/G/R scanline EXR.
 
     Mirrors the reference's ExrLibrary::SaveExr contract
     (src/Helper.cpp:361-412): 3 half channels stored B, G, R.
+    ``compression``: "none" (the reference's tinyexr default) or "zip"
+    (16-scanline blocks, reorder+delta predictor + zlib — the standard
+    OpenEXR ZIP scheme; tinyexr and OpenEXR read it back).
     """
     img = np.asarray(image, np.float32)
     h, w = img.shape[:2]
@@ -148,10 +165,11 @@ def write_exr(path: str, image: np.ndarray) -> None:
         chpay += cname.encode() + b"\x00" + struct.pack("<iB3xii", _PT_HALF, 0, 1, 1)
     chpay += b"\x00"
 
+    comp_id = {"none": _COMP_NONE, "zip": _COMP_ZIP}[compression]
     box = struct.pack("<4i", 0, 0, w - 1, h - 1)
     header = b"".join([
         attr("channels", "chlist", chpay),
-        attr("compression", "compression", bytes([_COMP_NONE])),
+        attr("compression", "compression", bytes([comp_id])),
         attr("dataWindow", "box2i", box),
         attr("displayWindow", "box2i", box),
         attr("lineOrder", "lineOrder", bytes([0])),
@@ -163,19 +181,34 @@ def write_exr(path: str, image: np.ndarray) -> None:
 
     half = img.astype("<f2")
     bgr = half[..., ::-1]  # rows stored B, G, R
-    row_bytes = 3 * w * 2
-    chunk_size = 8 + row_bytes
+    lines_per_block = 16 if comp_id == _COMP_ZIP else 1
+    n_blocks = -(-h // lines_per_block)
+
+    # raw block payloads: per scanline, per channel (B,G,R), the row bytes
+    blocks = []
+    for bi in range(n_blocks):
+        y0 = bi * lines_per_block
+        nlines = min(lines_per_block, h - y0)
+        raw = b"".join(bgr[y].transpose(1, 0).tobytes()
+                       for y in range(y0, y0 + nlines))
+        if comp_id == _COMP_ZIP:
+            packed = zlib.compress(_predict_and_deinterleave(raw))
+            if len(packed) >= len(raw):   # store raw (OpenEXR convention)
+                packed = raw
+        else:
+            packed = raw
+        blocks.append((y0, packed))
 
     out = bytearray()
     out += struct.pack("<ii", _MAGIC, 2)
     out += header
-    table_off = len(out)
-    data_start = table_off + 8 * h
-    for y in range(h):
-        out_off = data_start + y * chunk_size
-        out += struct.pack("<Q", out_off)
-    for y in range(h):
-        out += struct.pack("<ii", y, row_bytes)
-        out += bgr[y].transpose(1, 0).tobytes()  # per-channel rows: B,G,R
+    data_start = len(out) + 8 * n_blocks
+    off_acc = data_start
+    for y0, packed in blocks:
+        out += struct.pack("<Q", off_acc)
+        off_acc += 8 + len(packed)
+    for y0, packed in blocks:
+        out += struct.pack("<ii", y0, len(packed))
+        out += packed
     with open(path, "wb") as f:
         f.write(bytes(out))

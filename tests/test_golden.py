@@ -29,6 +29,7 @@ DETERMINISTIC = [
     ("instances", 0.2, 0.01),
     ("ply_smooth", 0.2, 0.01),
     ("textures", 0.05, 0.002),
+    ("background", 0.05, 0.002),    # ReplaceBackground decal texture
 ]
 
 
@@ -57,3 +58,24 @@ def test_stochastic_golden(name, mean_tol, p99_tol):
     diff = np.abs(img - gold)
     assert diff.mean() < mean_tol, f"mean {diff.mean()}"
     assert np.percentile(diff, 99) < p99_tol, f"p99 {np.percentile(diff, 99)}"
+
+
+def test_envlight_golden():
+    """SphericalDirectionalLight + ZIP EXR sky (src/Light.cpp:551-660).
+
+    The env estimator is one hemisphere sample per shading point with a
+    2400-radiance sun, so per-pixel values are MC noise at 16 spp — but the
+    DIRECT sky view (primary misses) is deterministic and must match
+    tightly, and 8x8 block means must agree between estimators (both are
+    unbiased for the same integral).
+    """
+    img = ldr(_render("envlight"))
+    gold = golden("envlight")
+    # rows 0-39 are pure sky (direct env lookup, no RNG)
+    sky = np.abs(img[:40] - gold[:40])
+    assert sky.mean() < 0.05, f"sky mean {sky.mean()}"
+    # block-pooled comparison elsewhere (8x8 pooling cuts MC noise ~8x)
+    pool = lambda a: a.reshape(20, 8, 20, 8, 3).mean(axis=(1, 3))
+    d = np.abs(pool(img) - pool(gold))
+    assert d.mean() < 6.0, f"pooled mean {d.mean()}"
+    assert np.abs(img.mean() - gold.mean()) < 3.0
