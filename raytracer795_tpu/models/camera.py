@@ -1,10 +1,10 @@
-"""Vectorized camera ray generation.
+"""Vectorized camera ray generation (lane-major Vec3 output).
 
 One broadcasted computation produces every primary/sample ray of a frame
-([H*W*S] SoA), replacing the per-pixel loops of src/Camera.cpp:63-139 and
-src/Scene.cpp:365-411. RNG is counter-based (jax.random over a fold_in'd
-key) instead of the reference's shared mt19937 — statistically equivalent
-jittered sampling, deterministic per (key, frame).
+([H*W*S] component SoA), replacing the per-pixel loops of
+src/Camera.cpp:63-139 and src/Scene.cpp:365-411. RNG is counter-based
+(jax.random over a fold_in'd key) instead of the reference's shared mt19937
+— statistically equivalent jittered sampling, deterministic per (key, frame).
 """
 
 from __future__ import annotations
@@ -15,7 +15,7 @@ import numpy as np
 
 from raytracer795_tpu.ops.intersect import Rays
 from raytracer795_tpu.scene.types import Camera
-from raytracer795_tpu.utils.vecmath import normalize
+from raytracer795_tpu.utils.vec3 import Vec3, vdot, vnormalize
 
 
 def primary_rays(cam: Camera, row0=0, n_rows: int | None = None) -> Rays:
@@ -31,15 +31,21 @@ def primary_rays(cam: Camera, row0=0, n_rows: int | None = None) -> Rays:
     y = (row0 + jnp.arange(n_rows) + 0.5) / ny
     u = cam.left + (cam.right_edge - cam.left) * x          # [nx]
     v = cam.top - (cam.top - cam.bottom) * y                # [n_rows]
-    pos = jnp.asarray(cam.pos, jnp.float32)
-    m = (pos[None, None]
-         + jnp.asarray(cam.gaze, jnp.float32) * cam.near_distance
-         + u[None, :, None] * jnp.asarray(cam.right, jnp.float32)
-         + v[:, None, None] * jnp.asarray(cam.up, jnp.float32))  # [rows, nx, 3]
-    d = normalize(m - pos)
-    o = jnp.broadcast_to(pos, d.shape)
+    ub = jnp.broadcast_to(u[None, :], (n_rows, nx)).reshape(-1)
+    vb = jnp.broadcast_to(v[:, None], (n_rows, nx)).reshape(-1)
+    pos = np.asarray(cam.pos, np.float32)
+    gaze = np.asarray(cam.gaze, np.float32)
+    right = np.asarray(cam.right, np.float32)
+    up = np.asarray(cam.up, np.float32)
+    m = Vec3(
+        pos[0] + gaze[0] * cam.near_distance + ub * right[0] + vb * up[0],
+        pos[1] + gaze[1] * cam.near_distance + ub * right[1] + vb * up[1],
+        pos[2] + gaze[2] * cam.near_distance + ub * right[2] + vb * up[2])
+    d = vnormalize(m - Vec3(pos[0], pos[1], pos[2]))
     n = nx * n_rows
-    return Rays(o=o.reshape(n, 3), d=d.reshape(n, 3), time=jnp.zeros((n,)))
+    o = Vec3(jnp.full((n,), pos[0]), jnp.full((n,), pos[1]),
+             jnp.full((n,), pos[2]))
+    return Rays(o=o, d=d, time=jnp.zeros((n,)))
 
 
 def sample_rays(cam: Camera, key: jax.Array) -> Rays:
@@ -63,10 +69,10 @@ def sample_rays_range(cam: Camera, key: jax.Array, base, count: int,
     """
     nx, S, g = cam.nx, count, cam.grid
     ny = cam.ny if n_rows is None else n_rows
-    pos = jnp.asarray(cam.pos, jnp.float32)
-    right = jnp.asarray(cam.right, jnp.float32)
-    up = jnp.asarray(cam.up, jnp.float32)
-    gaze = jnp.asarray(cam.gaze, jnp.float32)
+    pos = np.asarray(cam.pos, np.float32)
+    right = np.asarray(cam.right, np.float32)
+    up = np.asarray(cam.up, np.float32)
+    gaze = np.asarray(cam.gaze, np.float32)
 
     pw = (cam.right_edge - cam.left) / nx
     ph = (cam.top - cam.bottom) / cam.ny
@@ -75,33 +81,42 @@ def sample_rays_range(cam: Camera, key: jax.Array, base, count: int,
     # pixel lower-bottom corners (PixelLBCorner, src/Camera.cpp:84-92)
     u = cam.left + jnp.arange(nx) * pw                      # [nx]
     v = cam.top - (row0 + jnp.arange(ny) + 1) * ph          # [band rows]
-    lb = (pos[None, None]
-          + gaze * cam.near_distance
-          + u[None, :, None] * right
-          + v[:, None, None] * up)                          # [ny, nx, 3]
+    ub = jnp.broadcast_to(u[None, :, None], (ny, nx, S))
+    vb = jnp.broadcast_to(v[:, None, None], (ny, nx, S))
 
     s = base + jnp.arange(S)
     si = (s % g).astype(jnp.float32)                        # [S]
     sj = (s // g).astype(jnp.float32)
 
-    chi = jax.random.uniform(key, (ny, nx, S, 5))
-    m = (lb[:, :, None, :]
-         + ((si[None, None, :] + chi[..., 0]) * sw)[..., None] * right
-         + ((sj[None, None, :] + chi[..., 1]) * sh)[..., None] * up)
-    d = normalize(m - pos)                                  # [ny, nx, S, 3]
+    chi = jax.random.uniform(key, (5, ny, nx, S))
+    ju = ub + (si[None, None, :] + chi[0]) * sw             # [ny, nx, S]
+    jv = vb + (sj[None, None, :] + chi[1]) * sh
+    m = Vec3(pos[0] + gaze[0] * cam.near_distance + ju * right[0] + jv * up[0],
+             pos[1] + gaze[1] * cam.near_distance + ju * right[1] + jv * up[1],
+             pos[2] + gaze[2] * cam.near_distance + ju * right[2] + jv * up[2])
+    posv = Vec3(pos[0], pos[1], pos[2])
+    d = vnormalize(m - posv)                                # [ny, nx, S] x3
 
     if cam.is_dof:
-        q = (pos[None, None, None]
-             + (cam.aperture_size * (chi[..., 2] - 0.5))[..., None] * right
-             + (cam.aperture_size * (chi[..., 3] - 0.5))[..., None] * up)
-        t_fd = cam.focus_distance / jnp.sum(d * gaze, axis=-1)
-        p = pos + d * t_fd[..., None]
-        d = normalize(p - q)
+        lu = cam.aperture_size * (chi[2] - 0.5)
+        lv = cam.aperture_size * (chi[3] - 0.5)
+        q = Vec3(pos[0] + lu * right[0] + lv * up[0],
+                 pos[1] + lu * right[1] + lv * up[1],
+                 pos[2] + lu * right[2] + lv * up[2])
+        gz = Vec3(gaze[0], gaze[1], gaze[2])
+        t_fd = cam.focus_distance / vdot(d, gz)
+        p = posv + d * t_fd
+        d = vnormalize(p - q)
         o = q
         time = jnp.zeros((ny, nx, S))
     else:
-        o = jnp.broadcast_to(pos, d.shape)
-        time = chi[..., 4]
+        o = Vec3(jnp.broadcast_to(pos[0], d.shape),
+                 jnp.broadcast_to(pos[1], d.shape),
+                 jnp.broadcast_to(pos[2], d.shape))
+        time = chi[4]
 
     n = ny * nx * S
-    return Rays(o=o.reshape(n, 3), d=d.reshape(n, 3), time=time.reshape(n))
+    flat = lambda a: a.reshape(n)
+    return Rays(o=Vec3(flat(o.x), flat(o.y), flat(o.z)),
+                d=Vec3(flat(d.x), flat(d.y), flat(d.z)),
+                time=time.reshape(n))

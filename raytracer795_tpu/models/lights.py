@@ -3,7 +3,8 @@
 Contract: Light::BasicShading per type (src/Light.cpp:238-250, 309-321,
 409-436, 522-545, 628-660) and Scene::BasicShading/ambient
 (src/Scene.cpp:22-30, 243-267). Shadow rays re-enter the same wavefront
-trace (one batched occlusion query per light).
+trace (one batched occlusion query per light). All per-lane vectors are
+lane-major Vec3 (utils/vec3.py).
 """
 
 from __future__ import annotations
@@ -13,62 +14,65 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from raytracer795_tpu.models.brdf import brdf_radiance
+from raytracer795_tpu.models.brdf import _mat3_rows, brdf_radiance
 from raytracer795_tpu.ops import intersect
 from raytracer795_tpu.ops.texture import sample_image
 from raytracer795_tpu.scene import types as T
-from raytracer795_tpu.utils.vecmath import (dot, norm, normalize,
-                                            orthonormal_u, safe_normalize,
-                                            safe_pow)
+from raytracer795_tpu.utils.vec3 import (Vec3, vcross, vdot, vnorm,
+                                         vnormalize, vorthonormal_u,
+                                         vsafe_normalize, vwhere)
+from raytracer795_tpu.utils.vecmath import safe_pow
 
 _sg = jax.lax.stop_gradient
 
 
 class ShadePoint(NamedTuple):
     """Per-lane inputs to direct lighting."""
-    point: jnp.ndarray      # [N, 3] world hit point
-    normal: jnp.ndarray     # [N, 3] world shading normal (post-texture)
-    wo: jnp.ndarray         # [N, 3] unit vector toward the viewer
+    point: Vec3             # world hit point
+    normal: Vec3            # world shading normal (post-texture)
+    wo: Vec3                # unit vector toward the viewer
     mat: jnp.ndarray        # [N] int32
     dm: jnp.ndarray         # [N] int32 decal mode
-    tex_color: jnp.ndarray  # [N, 3]
+    tex_color: Vec3
     tex_norm: jnp.ndarray   # [N]
     time: jnp.ndarray       # [N] ray time (shadow rays inherit it)
     valid: jnp.ndarray      # [N] bool
 
 
-def _effective_kd(sp: ShadePoint, mats: T.Materials) -> jnp.ndarray:
+def _effective_kd(sp: ShadePoint, mats: T.Materials) -> Vec3:
     """Diffuse coefficient after decal modes (src/Light.cpp:206-223)."""
-    kd = mats.diffuse[sp.mat]
-    tex = sp.tex_color / sp.tex_norm[:, None]
-    kd = jnp.where((sp.dm == T.DECAL_REPLACE_KD)[:, None], tex, kd)
-    kd = jnp.where((sp.dm == T.DECAL_BLEND_KD)[:, None],
-                   (mats.diffuse[sp.mat] + tex) * 0.5, kd)
+    kd = _mat3_rows(mats.diffuse, sp.mat)
+    tex = sp.tex_color * (1.0 / sp.tex_norm)
+    kd = vwhere(sp.dm == T.DECAL_REPLACE_KD, tex, kd)
+    kd = vwhere(sp.dm == T.DECAL_BLEND_KD,
+                (_mat3_rows(mats.diffuse, sp.mat) + tex) * 0.5, kd)
     return kd
 
 
-def _diffuse_specular(sp: ShadePoint, mats: T.Materials, wi, contribution):
+def _diffuse_specular(sp: ShadePoint, mats: T.Materials, wi: Vec3,
+                      contribution: Vec3) -> Vec3:
     """Blinn-Phong diffuse + specular for non-BRDF materials."""
     kd = _effective_kd(sp, mats)
-    cos_i = jnp.maximum(0.0, dot(sp.normal, wi))
-    diffuse = contribution * kd * cos_i[:, None]
-    h = safe_normalize(sp.wo + wi)  # wi == -wo on dead lanes
-    cos_h = jnp.maximum(0.0, dot(sp.normal, h))
-    ks = mats.specular[sp.mat]
+    cos_i = jnp.maximum(0.0, vdot(sp.normal, wi))
+    diffuse = contribution * kd * cos_i
+    h = vsafe_normalize(sp.wo + wi)     # wi == -wo on dead lanes
+    cos_h = jnp.maximum(0.0, vdot(sp.normal, h))
+    ks = _mat3_rows(mats.specular, sp.mat)
     p = mats.phong[sp.mat]
-    specular = contribution * ks * safe_pow(cos_h[:, None], p[:, None])
+    specular = contribution * ks * safe_pow(cos_h, p)
     return diffuse + specular
 
 
-def _lit_color(sp: ShadePoint, mats: T.Materials, wi, contribution):
+def _lit_color(sp: ShadePoint, mats: T.Materials, wi: Vec3,
+               contribution: Vec3) -> Vec3:
     """Select BRDF vs diffuse+specular per lane (src/Light.cpp:243-249)."""
-    has_brdf = (mats.brdf[sp.mat] != T.BRDF_NONE)[:, None]
+    has_brdf = mats.brdf[sp.mat] != T.BRDF_NONE
     via_brdf = brdf_radiance(wi, sp.wo, sp.normal, contribution, mats, sp.mat)
     via_ds = _diffuse_specular(sp, mats, wi, contribution)
-    return jnp.where(has_brdf, via_brdf, via_ds)
+    return vwhere(has_brdf, via_brdf, via_ds)
 
 
-def _occluded(scene: T.Scene, sp: ShadePoint, direction, d_light=None):
+def _occluded(scene: T.Scene, sp: ShadePoint, direction: Vec3, d_light=None):
     """Shadow test via the any-hit query.
 
     Origin offset along the surface normal (src/Light.cpp:192; the
@@ -81,11 +85,11 @@ def _occluded(scene: T.Scene, sp: ShadePoint, direction, d_light=None):
     semantics. ``d_light=None`` means any hit occludes (directional).
     """
     eps = scene.shadow_eps
-    o = _sg(sp.point + sp.normal * eps)
+    o = jax.tree_util.tree_map(_sg, sp.point + sp.normal * eps)
     if d_light is None:
         t_cap = jnp.float32(3.0e38)
     else:
-        c = _sg(dot(sp.normal, direction))
+        c = _sg(vdot(sp.normal, direction))
         d2 = _sg(d_light * d_light)
         rad = jnp.maximum(eps * eps * (c * c - 1.0) + d2, 0.0)
         t_cap = -eps * c + jnp.sqrt(rad)
@@ -93,102 +97,121 @@ def _occluded(scene: T.Scene, sp: ShadePoint, direction, d_light=None):
     return intersect.trace_anyhit(scene, rays, t_cap)
 
 
-def direct_lighting(scene: T.Scene, sp: ShadePoint, key: jax.Array
-                    ) -> jnp.ndarray:
+def direct_lighting(scene: T.Scene, sp: ShadePoint, key: jax.Array) -> Vec3:
     """Ambient + sum over all lights (Scene::BasicShading)."""
     mats = scene.materials
-    out = scene.lights.ambient[None, :] * mats.ambient[sp.mat]  # src/Scene.cpp:22-30
+    amb = scene.lights.ambient
+    mamb = _mat3_rows(mats.ambient, sp.mat)
+    out = Vec3(amb[0] * mamb.x, amb[1] * mamb.y, amb[2] * mamb.z)
+    # (src/Scene.cpp:22-30)
 
     lights = scene.lights
+    N = sp.time.shape[0]
 
     # ---- point lights (src/Light.cpp:166-250) ----
     for i in range(lights.point_pos.shape[0]):
         pos = lights.point_pos[i]
-        topoint = pos[None, :] - sp.point
-        d_light = norm(topoint)
-        wi = topoint / d_light[:, None]
+        topoint = Vec3(pos[0] - sp.point.x, pos[1] - sp.point.y,
+                       pos[2] - sp.point.z)
+        d_light = vnorm(topoint)
+        wi = topoint * (1.0 / d_light)
         shadowed = _occluded(scene, sp, wi, d_light)  # src/Light.cpp:197-200
-        contribution = lights.point_intensity[i][None, :] / (d_light * d_light)[:, None]
+        inten = lights.point_intensity[i]
+        inv_d2 = 1.0 / (d_light * d_light)
+        contribution = Vec3(inten[0] * inv_d2, inten[1] * inv_d2,
+                            inten[2] * inv_d2)
         lit = _lit_color(sp, mats, wi, contribution)
-        out = out + jnp.where((sp.valid & ~shadowed)[:, None], lit, 0.0)
+        out = out + vwhere(sp.valid & ~shadowed, lit, 0.0)
 
     # ---- directional lights (src/Light.cpp:256-321) ----
     for i in range(lights.dir_dir.shape[0]):
-        wi = jnp.broadcast_to(-lights.dir_dir[i], sp.point.shape)
+        dd = lights.dir_dir[i]
+        ones = jnp.ones((N,))
+        wi = Vec3(-dd[0] * ones, -dd[1] * ones, -dd[2] * ones)
         occ = _occluded(scene, sp, wi, None)
-        contribution = jnp.broadcast_to(lights.dir_radiance[i], sp.point.shape)
+        rad = lights.dir_radiance[i]
+        contribution = Vec3(rad[0] * ones, rad[1] * ones, rad[2] * ones)
         lit = _lit_color(sp, mats, wi, contribution)
-        out = out + jnp.where((sp.valid & ~occ)[:, None], lit, 0.0)
+        out = out + vwhere(sp.valid & ~occ, lit, 0.0)
 
     # ---- spot lights (src/Light.cpp:327-436) ----
     for i in range(lights.spot_pos.shape[0]):
         pos = lights.spot_pos[i]
-        topoint = pos[None, :] - sp.point
-        d_light = norm(topoint)
-        wi = topoint / d_light[:, None]
+        topoint = Vec3(pos[0] - sp.point.x, pos[1] - sp.point.y,
+                       pos[2] - sp.point.z)
+        d_light = vnorm(topoint)
+        wi = topoint * (1.0 / d_light)
         shadowed = _occluded(scene, sp, wi, d_light)
-        contribution = lights.spot_intensity[i][None, :] / (d_light * d_light)[:, None]
+        inten = lights.spot_intensity[i]
+        inv_d2 = 1.0 / (d_light * d_light)
+        contribution = Vec3(inten[0] * inv_d2, inten[1] * inv_d2,
+                            inten[2] * inv_d2)
         lit = _lit_color(sp, mats, wi, contribution)
         # falloff (src/Light.cpp:338-348, 409-436); double-where: dead lanes
         # clip to +/-1 where arccos' derivative is infinite
-        cos_a = jnp.clip(dot(-wi, lights.spot_dir[i][None, :]), -1.0, 1.0)
+        sd = lights.spot_dir[i]
+        cos_a = jnp.clip(-(wi.x * sd[0] + wi.y * sd[1] + wi.z * sd[2]),
+                         -1.0, 1.0)
         angle = jnp.arccos(jnp.where(sp.valid, cos_a, 0.0))
         cf = jnp.cos(lights.spot_falloff[i])
         cc = jnp.cos(lights.spot_coverage[i])
         factor = ((jnp.cos(angle) - cc) / (cf - cc)) ** 4
         scale = jnp.where(angle < lights.spot_falloff[i], 1.0,
                           jnp.where(angle < lights.spot_coverage[i], factor, 0.0))
-        out = out + jnp.where((sp.valid & ~shadowed)[:, None],
-                              lit * scale[:, None], 0.0)
+        out = out + vwhere(sp.valid & ~shadowed, lit * scale, 0.0)
 
     # ---- area lights (src/Light.cpp:442-545) ----
     for i in range(lights.area_pos.shape[0]):
         k = jax.random.fold_in(key, 1000 + i)
-        chi = jax.random.uniform(k, (sp.point.shape[0], 2)) - 0.5
+        chi = jax.random.uniform(k, (2, N)) - 0.5
         size = lights.area_size[i]
-        sample = (lights.area_pos[i][None, :]
-                  + lights.area_u[i][None, :] * size * chi[:, 0:1]
-                  + lights.area_v[i][None, :] * size * chi[:, 1:2])
+        pos = lights.area_pos[i]
+        au = lights.area_u[i]
+        av = lights.area_v[i]
+        sample = Vec3(pos[0] + au[0] * size * chi[0] + av[0] * size * chi[1],
+                      pos[1] + au[1] * size * chi[0] + av[1] * size * chi[1],
+                      pos[2] + au[2] * size * chi[0] + av[2] * size * chi[1])
         tosample = sample - sp.point
-        d_light = norm(tosample)
-        wi = tosample / d_light[:, None]
+        d_light = vnorm(tosample)
+        wi = tosample * (1.0 / d_light)
         shadowed = _occluded(scene, sp, wi, d_light)
         # factor = size^2 cos/d^2 (src/Light.cpp:457-463)
-        cos_l = jnp.abs(dot(-wi, lights.area_normal[i][None, :]))
+        an = lights.area_normal[i]
+        cos_l = jnp.abs(-(wi.x * an[0] + wi.y * an[1] + wi.z * an[2]))
         factor = (size * size) * cos_l / (d_light * d_light)
-        contribution = lights.area_radiance[i][None, :] * factor[:, None]
+        rad = lights.area_radiance[i]
+        contribution = Vec3(rad[0] * factor, rad[1] * factor, rad[2] * factor)
         lit = _lit_color(sp, mats, wi, contribution)
-        out = out + jnp.where((sp.valid & ~shadowed)[:, None], lit, 0.0)
+        out = out + vwhere(sp.valid & ~shadowed, lit, 0.0)
 
     # ---- environment light (src/Light.cpp:551-660) ----
     if scene.env_texture >= 0:
         k = jax.random.fold_in(key, 2000)
         n = sp.normal
-        u = orthonormal_u(n)
-        w = jnp.cross(n, u)
-        chi = jax.random.uniform(k, (sp.point.shape[0], 2))
+        u = vorthonormal_u(n)
+        w = vcross(n, u)
+        chi = jax.random.uniform(k, (2, N))
         # The reference rejection-samples uniform directions in the normal
         # hemisphere (src/Light.cpp:634-648); sample the same distribution
         # directly: z ~ U(0,1), phi ~ U(0,2pi), pdf = 1/(2pi).
-        z = chi[:, 0]
-        phi = chi[:, 1] * 2.0 * jnp.pi
+        z = chi[0]
+        phi = chi[1] * 2.0 * jnp.pi
         r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
-        wi = (u * (r * jnp.cos(phi))[:, None] + n * z[:, None]
-              + w * (r * jnp.sin(phi))[:, None])
-        wi = normalize(wi)
+        wi = vnormalize(u * (r * jnp.cos(phi)) + n * z
+                        + w * (r * jnp.sin(phi)))
         occ = _occluded(scene, sp, wi, None)
         radiance = env_radiance(scene, wi) * (2.0 * jnp.pi)
         lit = _lit_color(sp, mats, wi, radiance)
-        out = out + jnp.where((sp.valid & ~occ)[:, None], lit, 0.0)
+        out = out + vwhere(sp.valid & ~occ, lit, 0.0)
 
     return out
 
 
-def env_radiance(scene: T.Scene, direction: jnp.ndarray) -> jnp.ndarray:
-    """Lat-long environment lookup (src/Light.cpp:563-575): [N,3]."""
-    theta = jnp.arccos(jnp.clip(direction[:, 1], -1.0, 1.0))
-    phi = jnp.arctan2(direction[:, 2], direction[:, 0])
+def env_radiance(scene: T.Scene, direction: Vec3) -> Vec3:
+    """Lat-long environment lookup (src/Light.cpp:563-575)."""
+    theta = jnp.arccos(jnp.clip(direction.y, -1.0, 1.0))
+    phi = jnp.arctan2(direction.z, direction.x)
     u = (-phi + jnp.pi) / (2.0 * jnp.pi)
     v = theta / jnp.pi
     tex = scene.textures[scene.env_texture]
-    return sample_image(tex, jnp.stack([u, v], axis=-1))
+    return sample_image(tex, u, v)

@@ -6,7 +6,8 @@ estimation with the discard-the-BRDF-sample rule, and Russian roulette
 (pages/Page7.md:7-33, 135-163). This module implements that capability
 TPU-first: a single `lax.fori_loop` over bounces where every pixel-sample
 lane carries one continuation ray and a throughput, all decisions are masked
-lane-math, and all light sampling is batched.
+lane-math, and all light sampling is batched. All per-lane vectors are
+lane-major Vec3 (utils/vec3.py).
 
 Semantics:
 - emission: rays see an emissive primitive's radiance when they hit it;
@@ -41,7 +42,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from raytracer795_tpu.models.brdf import term_brdf
+from raytracer795_tpu.models.brdf import _mat3_rows, term_brdf
 from raytracer795_tpu.models.lights import ShadePoint, direct_lighting
 from raytracer795_tpu.models.whitted import (_conductor_fresnel,
                                              _fresnel_dielectric,
@@ -49,25 +50,26 @@ from raytracer795_tpu.models.whitted import (_conductor_fresnel,
 from raytracer795_tpu.ops import intersect
 from raytracer795_tpu.ops.texture import apply_textures
 from raytracer795_tpu.scene import types as T
-from raytracer795_tpu.utils.vecmath import (dot, mat3_apply, normalize,
-                                            orthonormal_u, reflect,
-                                            safe_normalize, safe_pow,
-                                            scrub_nan)
+from raytracer795_tpu.utils.vec3 import (Vec3, const_mat3_apply, vany_nan,
+                                         vcross, vdot, vnorm, vnormalize,
+                                         vorthonormal_u, vreflect,
+                                         vsafe_normalize, vscrub_nan, vwhere)
+from raytracer795_tpu.utils.vecmath import safe_pow
 
 
 class _PTState(NamedTuple):
     active: jnp.ndarray     # [N]
     count_emission: jnp.ndarray  # [N] ray may collect emission at next hit
-    o: jnp.ndarray          # [N, 3]
-    d: jnp.ndarray          # [N, 3]
+    o: Vec3
+    d: Vec3
     time: jnp.ndarray       # [N]
-    tput: jnp.ndarray       # [N, 3]
-    sigma: jnp.ndarray      # [N, 3] Beer coefficient for current segment
-    radiance: jnp.ndarray   # [N, 3]
+    tput: Vec3
+    sigma: Vec3             # Beer coefficient for current segment
+    radiance: Vec3
     key: jax.Array
 
 
-def _pt_brdf(wi, wo, normal, mats, mat_idx):
+def _pt_brdf(wi: Vec3, wo: Vec3, normal: Vec3, mats, mat_idx) -> Vec3:
     """BRDF for path tracing.
 
     Materials with an explicit BRDF use the reference's 8 models
@@ -79,87 +81,91 @@ def _pt_brdf(wi, wo, normal, mats, mat_idx):
     Monte Carlo estimator gain energy each bounce.
     """
     f = term_brdf(wi, wo, normal, mats, mat_idx)
-    kd = mats.diffuse[mat_idx]
-    ks = mats.specular[mat_idx]
+    kd = _mat3_rows(mats.diffuse, mat_idx)
+    ks = _mat3_rows(mats.specular, mat_idx)
     pexp = mats.phong[mat_idx]
-    h = safe_normalize(wo + wi)     # wi == -wo on dead lanes => |h| == 0
-    cos_h = jnp.maximum(0.0, dot(normal, h))
+    h = vsafe_normalize(wo + wi)    # wi == -wo on dead lanes => |h| == 0
+    cos_h = jnp.maximum(0.0, vdot(normal, h))
     pi = jnp.pi
-    f_plain = kd / pi + ks * ((pexp[:, None] + 8.0) / (8.0 * pi)) * \
-        safe_pow(cos_h[:, None], pexp[:, None])
-    none = (mats.brdf[mat_idx] == T.BRDF_NONE)[:, None]
-    return jnp.where(none, f_plain, f)
+    f_plain = kd / pi + ks * (((pexp + 8.0) / (8.0 * pi))
+                              * safe_pow(cos_h, pexp))
+    none = mats.brdf[mat_idx] == T.BRDF_NONE
+    return vwhere(none, f_plain, f)
 
 
-def _sample_hemisphere(n, chi, importance: bool):
-    """Direction + pdf around normal n. chi [N,2] uniforms."""
-    u = orthonormal_u(n)
-    w = jnp.cross(n, u)
-    phi = chi[:, 1] * 2.0 * jnp.pi
+def _sample_hemisphere(n: Vec3, chi0, chi1, importance: bool):
+    """Direction + pdf around normal n. chi0/chi1 [N] uniforms."""
+    u = vorthonormal_u(n)
+    w = vcross(n, u)
+    phi = chi1 * 2.0 * jnp.pi
     if importance:
         # cosine-weighted: pdf = cos/pi
-        r = jnp.sqrt(chi[:, 0])
-        z = jnp.sqrt(jnp.maximum(0.0, 1.0 - chi[:, 0]))
-        d = (u * (r * jnp.cos(phi))[:, None] + w * (r * jnp.sin(phi))[:, None]
-             + n * z[:, None])
+        r = jnp.sqrt(chi0)
+        z = jnp.sqrt(jnp.maximum(0.0, 1.0 - chi0))
+        d = u * (r * jnp.cos(phi)) + w * (r * jnp.sin(phi)) + n * z
         pdf = jnp.maximum(z / jnp.pi, 1e-8)
     else:
         # uniform: pdf = 1/(2pi)
-        z = chi[:, 0]
+        z = chi0
         r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
-        d = (u * (r * jnp.cos(phi))[:, None] + w * (r * jnp.sin(phi))[:, None]
-             + n * z[:, None])
+        d = u * (r * jnp.cos(phi)) + w * (r * jnp.sin(phi)) + n * z
         pdf = jnp.full(z.shape, 1.0 / (2.0 * jnp.pi))
-    return normalize(d), pdf
+    return vnormalize(d), pdf
 
 
-def _object_light_nee(scene: T.Scene, sp: ShadePoint, key) -> jnp.ndarray:
+def _object_light_nee(scene: T.Scene, sp: ShadePoint, key) -> Vec3:
     """Direct contribution of all object lights via area sampling."""
-    N = sp.point.shape[0]
-    out = jnp.zeros((N, 3))
+    N = sp.time.shape[0]
+    out = Vec3.zeros((N,))
     mats = scene.materials
     eps = scene.shadow_eps
 
-    def shade_from_sample(lpos, lnormal, radiance, pdf_area, li):
+    def shade_from_sample(lpos: Vec3, lnormal: Vec3, radiance, pdf_area, li):
         to_l = lpos - sp.point
-        d2 = jnp.sum(to_l * to_l, axis=-1)
+        d2 = vdot(to_l, to_l)
         # guarded sqrt/division: dead lanes can have sample == point
         dist = jnp.sqrt(jnp.where(d2 > 0, d2, 1.0))
         dist = jnp.where(d2 > 0, dist, 1.0)
-        wi = to_l / dist[:, None]
+        wi = to_l * (1.0 / dist)
         # occlusion: any hit strictly closer than the sample point (the
         # backface-shadow fix of pages/Page7.md:143). Distance-compare
         # |eps*n + t*wi| < dist - 2*eps solved for the exact t_cap; fully
         # stop-gradient — visibility is discrete.
         sg = jax.lax.stop_gradient
         o = sp.point + sp.normal * eps
-        c = sg(dot(sp.normal, wi))
+        c = sg(vdot(sp.normal, wi))
         dlim = sg(dist) - 2.0 * eps
         rad = jnp.maximum(eps * eps * (c * c - 1.0) + dlim * dlim, 0.0)
         t_cap = -eps * c + jnp.sqrt(rad)
         occluded = intersect.trace_anyhit(
             scene, intersect.Rays(o=o, d=wi, time=sp.time), t_cap)
         visible = ~occluded
-        cos_x = jnp.maximum(0.0, dot(sp.normal, wi))
-        cos_l = jnp.abs(dot(lnormal, -wi))
+        cos_x = jnp.maximum(0.0, vdot(sp.normal, wi))
+        cos_l = jnp.abs(vdot(lnormal, -wi))
         f = _pt_brdf(wi, sp.wo, sp.normal, mats, sp.mat)
         geom = cos_x * cos_l / jnp.maximum(d2, 1e-12)
-        contrib = radiance[None, :] * f * (geom / jnp.maximum(pdf_area, 1e-12))[:, None]
-        return jnp.where((visible & sp.valid)[:, None], contrib, 0.0)
+        scale = geom / jnp.maximum(pdf_area, 1e-12)
+        contrib = Vec3(radiance[0] * f.x, radiance[1] * f.y,
+                       radiance[2] * f.z) * scale
+        return vwhere(visible & sp.valid, contrib, 0.0)
 
     idx = 0
     for sl in scene.sphere_lights:
         k = jax.random.fold_in(key, 7000 + idx)
-        chi = jax.random.uniform(k, (N, 2))
-        z = 1.0 - 2.0 * chi[:, 0]
+        chi = jax.random.uniform(k, (2, N))
+        z = 1.0 - 2.0 * chi[0]
         r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
-        phi = 2.0 * jnp.pi * chi[:, 1]
-        n_l = jnp.stack([r * jnp.cos(phi), z, r * jnp.sin(phi)], axis=-1)
-        p_local = sl.center[None, :] + sl.radius * n_l
+        phi = 2.0 * jnp.pi * chi[1]
+        n_l = Vec3(r * jnp.cos(phi), z, r * jnp.sin(phi))
+        p_local = Vec3(sl.center[0] + sl.radius * n_l.x,
+                       sl.center[1] + sl.radius * n_l.y,
+                       sl.center[2] + sl.radius * n_l.z)
         if sl.has_xform:
-            p_world = mat3_apply(sl.m[:3, :3], p_local) + sl.m[:3, 3]
-            jac = jnp.linalg.norm(mat3_apply(sl.cof, n_l), axis=-1)
-            n_world = normalize(mat3_apply(sl.cof, n_l))
+            p_world = const_mat3_apply(sl.m, p_local) + Vec3(
+                sl.m[0, 3], sl.m[1, 3], sl.m[2, 3])
+            cof_n = const_mat3_apply(sl.cof, n_l)
+            jac = vnorm(cof_n)
+            n_world = vnormalize(cof_n)
         else:
             p_world = p_local
             jac = jnp.ones((N,))
@@ -172,16 +178,22 @@ def _object_light_nee(scene: T.Scene, sp: ShadePoint, key) -> jnp.ndarray:
 
     for ml in scene.mesh_lights:
         k = jax.random.fold_in(key, 7000 + idx)
-        chi = jax.random.uniform(k, (N, 3))
-        ti = jnp.searchsorted(ml.cdf, chi[:, 0])
+        chi = jax.random.uniform(k, (3, N))
+        ti = jnp.searchsorted(ml.cdf, chi[0])
         ti = jnp.clip(ti, 0, ml.a.shape[0] - 1)
         # uniform barycentric (sqrt trick)
-        su = jnp.sqrt(chi[:, 1])
+        su = jnp.sqrt(chi[1])
         b1 = 1.0 - su
-        b2 = chi[:, 2] * su
-        p = (ml.a[ti] * (1.0 - b1 - b2)[:, None] + ml.b[ti] * b1[:, None]
-             + ml.c[ti] * b2[:, None])
-        n_l = ml.normal[ti]
+        b2 = chi[2] * su
+        b0 = 1.0 - b1 - b2
+        av = Vec3.from_array(ml.a)
+        bv = Vec3.from_array(ml.b)
+        cv = Vec3.from_array(ml.c)
+        p = (Vec3(av.x[ti], av.y[ti], av.z[ti]) * b0
+             + Vec3(bv.x[ti], bv.y[ti], bv.z[ti]) * b1
+             + Vec3(cv.x[ti], cv.y[ti], cv.z[ti]) * b2)
+        nv = Vec3.from_array(ml.normal)
+        n_l = Vec3(nv.x[ti], nv.y[ti], nv.z[ti])
         pdf_area = jnp.full((N,), 1.0 / jnp.maximum(ml.total_area, 1e-12))
         out = out + shade_from_sample(p, n_l, ml.radiance, pdf_area, idx)
         idx += 1
@@ -190,10 +202,12 @@ def _object_light_nee(scene: T.Scene, sp: ShadePoint, key) -> jnp.ndarray:
 
 
 def render_rays(scene: T.Scene, rays: intersect.Rays,
-                bg_radiance: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+                bg_radiance, key: jax.Array) -> jnp.ndarray:
     """Path-trace a batch of camera rays to radiance [N, 3]."""
     # host (numpy) scene leaves cannot be indexed by traced lane ids
     scene = jax.tree_util.tree_map(jnp.asarray, scene)
+    if not isinstance(bg_radiance, Vec3):
+        bg_radiance = Vec3.from_array(jnp.asarray(bg_radiance))
     N = rays.o.shape[0]
     mats = scene.materials
     vertex_normals = intersect.compute_vertex_normals(scene)
@@ -204,9 +218,9 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
         active=jnp.ones((N,), bool),
         count_emission=jnp.ones((N,), bool),
         o=rays.o, d=rays.d, time=rays.time,
-        tput=jnp.ones((N, 3)),
-        sigma=jnp.zeros((N, 3)),
-        radiance=jnp.zeros((N, 3)),
+        tput=Vec3.ones((N,)),
+        sigma=Vec3.zeros((N,)),
+        radiance=Vec3.zeros((N,)),
         key=key,
     )
 
@@ -222,20 +236,20 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
 
         # Beer attenuation of the resolved segment (det.t = differentiable
         # recompute of hit.t, same bits)
-        seg = jnp.exp(-s.sigma * jnp.where(hit_valid, det.t, 0.0)[:, None])
-        tput = s.tput * seg
+        seg_t = jnp.where(hit_valid, det.t, 0.0)
+        tput = s.tput * Vec3(jnp.exp(-s.sigma.x * seg_t),
+                             jnp.exp(-s.sigma.y * seg_t),
+                             jnp.exp(-s.sigma.z * seg_t))
 
         radiance = s.radiance
         # primary-miss background (secondary misses contribute nothing,
         # matching the Whitted convention src/Scene.cpp:150-153)
         miss = s.active & ~hit_valid
-        radiance = radiance + jnp.where((miss & (i == 0))[:, None],
-                                        bg_radiance, 0.0)
+        radiance = radiance + vwhere(miss & (i == 0), bg_radiance, 0.0)
 
         # emission at the hit (double-count rule)
         emit_ok = hit_valid & s.count_emission
-        radiance = radiance + jnp.where(emit_ok[:, None],
-                                        tput * det.emission, 0.0)
+        radiance = radiance + vwhere(emit_ok, tput * det.emission, 0.0)
 
         mat_idx = det.mat
         mtype = mats.mtype[mat_idx]
@@ -251,93 +265,96 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
                         valid=is_diffuse)
         if scene.pt_nee and has_object_lights:
             nee = _object_light_nee(scene, sp, jax.random.fold_in(k_iter, 1))
-            radiance = radiance + scrub_nan(
-                jnp.where(is_diffuse[:, None], tput * nee, 0.0))
+            radiance = radiance + vscrub_nan(
+                vwhere(is_diffuse, tput * nee, 0.0))
         # classic lights (and ambient) always via direct lighting
         classic = direct_lighting(scene, sp, jax.random.fold_in(k_iter, 2))
-        radiance = radiance + scrub_nan(
-            jnp.where(is_diffuse[:, None], tput * classic, 0.0))
+        radiance = radiance + vscrub_nan(
+            vwhere(is_diffuse, tput * classic, 0.0))
 
         # ---- continuations ----
         eps = scene.shadow_eps
-        chi = jax.random.uniform(jax.random.fold_in(k_iter, 3), (N, 6))
+        chi = jax.random.uniform(jax.random.fold_in(k_iter, 3), (6, N))
 
         # diffuse: hemisphere sample
-        d_diff, pdf = _sample_hemisphere(normal, chi[:, 0:2],
+        d_diff, pdf = _sample_hemisphere(normal, chi[0], chi[1],
                                          scene.pt_importance)
         f = _pt_brdf(d_diff, -s.d, normal, mats, mat_idx)
-        cos_s = jnp.maximum(0.0, dot(d_diff, normal))
-        w_diff = f * (cos_s / pdf)[:, None]
+        cos_s = jnp.maximum(0.0, vdot(d_diff, normal))
+        w_diff = f * (cos_s / pdf)
 
         # specular shared math
-        wr = reflect(s.d, normal)
+        wr = vreflect(s.d, normal)
         wr = _glossy_perturb(wr, mats.roughness[mat_idx],
-                             mats.is_rough[mat_idx], chi[:, 4:6] - 0.5)
+                             mats.is_rough[mat_idx],
+                             chi[4] - 0.5, chi[5] - 0.5)
         f_cond = _conductor_fresnel(mats.refraction[mat_idx],
                                     mats.absorption_index[mat_idx], s.d, normal)
         # snell guarded on non-dielectric lanes (refraction index may be 0)
         nt = mats.refraction[mat_idx]
         diel = mtype == T.MAT_DIELECTRIC
         nt_s = jnp.where(diel, nt, 1.0)
-        entering = dot(s.d, normal) < 0
-        no = jnp.where(entering[:, None], normal, -normal)
+        entering = vdot(s.d, normal) < 0
+        no = vwhere(entering, normal, -normal)
         snell = jnp.where(entering, 1.0 / nt_s, nt_s)
         t_dir, tir = _refract(s.d, no, snell, diel)
         n_t = jnp.where(entering, nt_s, 1.0)
         n_i = jnp.where(entering, 1.0, nt_s)
         fr = _fresnel_dielectric(n_t, n_i, s.d, t_dir, no)
         fr = jnp.where(tir, 1.0, fr)
-        absorb = mats.absorption_coef[mat_idx]
+        absorb = Vec3(mats.absorption_coef[mat_idx, 0],
+                      mats.absorption_coef[mat_idx, 1],
+                      mats.absorption_coef[mat_idx, 2])
         # stochastic branch pick: reflect with prob fr (weight cancels)
-        pick_reflect = chi[:, 3] < fr
-        diel_d = jnp.where((pick_reflect | tir)[:, None], wr, t_dir)
-        diel_o = jnp.where((pick_reflect | tir)[:, None],
-                           det.point + normal * eps, det.point - no * eps)
+        pick_reflect = chi[3] < fr
+        diel_d = vwhere(pick_reflect | tir, wr, t_dir)
+        diel_o = vwhere(pick_reflect | tir,
+                        det.point + normal * eps, det.point - no * eps)
         # Beer applies when the NEXT segment runs inside the medium:
         # entering+refract, or internal reflection (TIR / exit+reflect pick)
         diel_sigma_on = (entering & ~pick_reflect) | (~entering & (tir | pick_reflect))
-        diel_sigma = jnp.where(diel_sigma_on[:, None], absorb, 0.0)
+        diel_sigma = vwhere(diel_sigma_on, absorb, 0.0)
 
-        new_d = jnp.where(is_diffuse[:, None], d_diff,
-                          jnp.where(is_dielectric[:, None], diel_d, wr))
-        new_o = jnp.where(is_dielectric[:, None], diel_o,
-                          det.point + normal * eps)
-        mfac = mats.mirror[mat_idx]
-        w_next = jnp.where(is_diffuse[:, None], w_diff,
-                           jnp.where(is_mirror[:, None], mfac,
-                                     jnp.where(is_conductor[:, None],
-                                               mfac * f_cond[:, None],
-                                               jnp.ones((N, 3)))))
-        sigma_next = jnp.where(is_dielectric[:, None], diel_sigma, 0.0)
+        new_d = vwhere(is_diffuse, d_diff,
+                       vwhere(is_dielectric, diel_d, wr))
+        new_o = vwhere(is_dielectric, diel_o, det.point + normal * eps)
+        mfac = Vec3(mats.mirror[mat_idx, 0], mats.mirror[mat_idx, 1],
+                    mats.mirror[mat_idx, 2])
+        w_next = vwhere(is_diffuse, w_diff,
+                        vwhere(is_mirror, mfac,
+                               vwhere(is_conductor, mfac * f_cond,
+                                      Vec3.ones((N,)))))
+        sigma_next = vwhere(is_dielectric, diel_sigma, 0.0)
 
-        tput = tput * jnp.where(hit_valid[:, None], w_next, 1.0)
+        tput = tput * vwhere(hit_valid, w_next, 1.0)
 
         # with NEE, diffuse-vertex BRDF samples must NOT re-collect emission
         count_next = jnp.where(is_diffuse, not scene.pt_nee, True)
 
         cont = hit_valid & (i + 1 < max_bounces)
-        bad = jnp.any(jnp.isnan(new_d) | jnp.isnan(tput), axis=-1)
+        bad = vany_nan(new_d) | vany_nan(tput)
         cont = cont & ~bad
         # drop dead-throughput lanes
-        cont = cont & (jnp.max(tput, axis=-1) > 1e-6)
+        tput_max = jnp.maximum(tput.x, jnp.maximum(tput.y, tput.z))
+        cont = cont & (tput_max > 1e-6)
 
         # Russian roulette (throughput survival)
         if scene.pt_rr:
-            q = jnp.clip(jnp.max(tput, axis=-1), 0.05, 1.0)
+            q = jnp.clip(tput_max, 0.05, 1.0)
             u = jax.random.uniform(jax.random.fold_in(k_iter, 4), (N,))
             live = u < q
             apply_rr = cont & (i >= 1)
-            tput = jnp.where((apply_rr & live)[:, None], tput / q[:, None], tput)
+            tput = vwhere(apply_rr & live, tput * (1.0 / q), tput)
             cont = jnp.where(apply_rr, cont & live, cont)
 
         return _PTState(
             active=cont,
             count_emission=count_next,
-            o=jnp.where(cont[:, None], new_o, s.o),
-            d=jnp.where(cont[:, None], new_d, s.d),
+            o=vwhere(cont, new_o, s.o),
+            d=vwhere(cont, new_d, s.d),
             time=s.time,
             tput=tput,
-            sigma=jnp.where(cont[:, None], sigma_next, s.sigma),
+            sigma=vwhere(cont, sigma_next, s.sigma),
             radiance=radiance,
             key=s.key,
         )
@@ -349,4 +366,4 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
     # wavefront intermediate.
     bounce_ckpt = jax.checkpoint(bounce, static_argnums=())
     final = jax.lax.fori_loop(0, max_bounces, bounce_ckpt, state)
-    return final.radiance
+    return final.radiance.to_array()

@@ -7,13 +7,14 @@ attenuates the segment inside the medium, and every surface event except a
 dielectric exit also emits direct lighting (BasicShading).
 
 TPU-native equivalent: every pixel-sample is a lane carrying one current ray
-plus a small per-lane stack of deferred branch rays ([N, D] arrays, D =
-max recursion depth). One `lax.while_loop` iteration intersects ALL current
-rays as a wavefront, accumulates emissions into the lane's radiance with the
-running throughput, and either continues the lane with a child ray, pops a
-deferred ray, or retires the lane. The loop ends when every lane is idle —
-total iterations equal the deepest lane's ray-tree size, and every iteration
-is fully vectorized (no per-ray recursion, no divergence beyond lane masks).
+plus a small per-lane stack of deferred branch rays (stack-major [D, N]
+arrays, D = max recursion depth, so the lane axis stays the 128-wide minor
+axis). One loop iteration intersects ALL current rays as a wavefront,
+accumulates emissions into the lane's radiance with the running throughput,
+and either continues the lane with a child ray, pops a deferred ray, or
+retires the lane. The loop ends when every lane is idle — total iterations
+equal the deepest lane's ray-tree size, and every iteration is fully
+vectorized (no per-ray recursion, no divergence beyond lane masks).
 
 Event table (depth = remaining recursion budget at the hit):
   miss, primary lane        -> emit background (src/Scene.cpp:378-381)
@@ -50,57 +51,58 @@ from raytracer795_tpu.models.lights import ShadePoint, direct_lighting
 from raytracer795_tpu.ops import intersect
 from raytracer795_tpu.ops.texture import apply_textures
 from raytracer795_tpu.scene import types as T
-from raytracer795_tpu.utils.vecmath import (dot, masked_normalize,
-                                            orthonormal_u, reflect, safe_div,
-                                            safe_normalize, scrub_nan)
+from raytracer795_tpu.utils.vec3 import (Vec3, vany_nan, vcross, vdot,
+                                         vmasked_normalize, vorthonormal_u,
+                                         vreflect, vsafe_normalize,
+                                         vscrub_nan, vwhere)
+from raytracer795_tpu.utils.vecmath import safe_div
 
 
 class _State(NamedTuple):
     it: jnp.ndarray             # scalar int32 iteration counter
     active: jnp.ndarray         # [N] lane has a current ray
     is_primary: jnp.ndarray     # [N] current ray is the camera ray
-    o: jnp.ndarray              # [N, 3]
-    d: jnp.ndarray              # [N, 3]
+    o: Vec3                     # [N] x3
+    d: Vec3
     time: jnp.ndarray           # [N]
-    tput: jnp.ndarray           # [N, 3]
+    tput: Vec3
     depth: jnp.ndarray          # [N] remaining recursion budget
-    sigma: jnp.ndarray          # [N, 3] Beer coefficient of current segment
-    radiance: jnp.ndarray       # [N, 3] accumulator
-    # per-lane stacks
+    sigma: Vec3                 # Beer coefficient of current segment
+    radiance: Vec3              # accumulator
+    # per-lane stacks, stack-major [D, N]
     sp: jnp.ndarray             # [N]
-    st_o: jnp.ndarray           # [N, D, 3]
-    st_d: jnp.ndarray           # [N, D, 3]
-    st_tput: jnp.ndarray        # [N, D, 3]
-    st_depth: jnp.ndarray       # [N, D]
-    st_sigma: jnp.ndarray       # [N, D, 3]
+    st_o: Vec3                  # [D, N] x3
+    st_d: Vec3
+    st_tput: Vec3
+    st_depth: jnp.ndarray       # [D, N]
+    st_sigma: Vec3
 
 
-def _glossy_perturb(wr, roughness, is_rough, chi):
+def _glossy_perturb(wr: Vec3, roughness, is_rough, chi0, chi1) -> Vec3:
     """Rough-mirror jitter (src/Scene.cpp:41-47)."""
-    u = orthonormal_u(wr)
-    v = jnp.cross(wr, u)
-    wr2 = safe_normalize(
-        wr + (u * chi[:, 0:1] + v * chi[:, 1:2]) * roughness[:, None])
-    return jnp.where(is_rough[:, None], wr2, wr)
+    u = vorthonormal_u(wr)
+    v = vcross(wr, u)
+    wr2 = vsafe_normalize(wr + (u * chi0 + v * chi1) * roughness)
+    return vwhere(is_rough, wr2, wr)
 
 
-def _fresnel_dielectric(n_t, n_i, d, t_dir, no):
+def _fresnel_dielectric(n_t, n_i, d: Vec3, t_dir: Vec3, no: Vec3):
     """Dielectric Fresnel (src/Scene.cpp:120-128).
 
     Denominators guarded: non-dielectric lanes evaluate this with garbage
     (possibly zero) indices; a raw 1/0 would NaN reverse mode through the
     downstream masks.
     """
-    cos_t = -dot(t_dir, no)
-    cos_i = -dot(d, no)
+    cos_t = -vdot(t_dir, no)
+    cos_i = -vdot(d, no)
     r_par = safe_div(n_t * cos_i - n_i * cos_t, n_t * cos_i + n_i * cos_t)
     r_perp = safe_div(n_i * cos_i - n_t * cos_t, n_i * cos_i + n_t * cos_t)
     return 0.5 * (r_par * r_par + r_perp * r_perp)
 
 
-def _conductor_fresnel(n_t, k_t, d, n):
+def _conductor_fresnel(n_t, k_t, d: Vec3, n: Vec3):
     """Conductor Fresnel (src/Scene.cpp:135-146); guarded like the above."""
-    cos_t = -dot(d, n)
+    cos_t = -vdot(d, n)
     two = 2.0 * n_t * cos_t
     cos2 = cos_t * cos_t
     nk2 = n_t * n_t + k_t * k_t
@@ -109,7 +111,7 @@ def _conductor_fresnel(n_t, k_t, d, n):
     return 0.5 * (rs + rp)
 
 
-def _refract(d, no, snell, diel_mask):
+def _refract(d: Vec3, no: Vec3, snell, diel_mask):
     """Snell refraction direction + TIR mask (src/Scene.cpp:57-117).
 
     ``diel_mask`` marks lanes whose material really is dielectric; other
@@ -118,19 +120,44 @@ def _refract(d, no, snell, diel_mask):
     bits are unchanged.
     """
     snell = jnp.where(diel_mask, snell, 1.0)
-    cos_i = -dot(d, no)
+    cos_i = -vdot(d, no)
     sqrt_part = 1.0 - snell * snell * (1.0 - cos_i * cos_i)
     tir = sqrt_part < 0
     # sqrt guarded at 0 (its VJP is 1/(2 sqrt) = inf); <=0 lanes return 0,
     # exactly what sqrt(max(part, 0)) produced.
     root = jnp.sqrt(jnp.where(sqrt_part > 0, sqrt_part, 1.0)) * (sqrt_part > 0)
-    t_raw = (d + no * cos_i[:, None]) * snell[:, None] - no * root[:, None]
-    t_dir = masked_normalize(diel_mask & ~tir, t_raw)
+    t_raw = (d + no * cos_i) * snell - no * root
+    t_dir = vmasked_normalize(diel_mask & ~tir, t_raw)
     return t_dir, tir
 
 
+def _pick_row(st, spi, D):
+    """Per-lane stack read: st[spi[i], i] via an unrolled D-way select."""
+    got = st[0]
+    for k in range(1, D):
+        got = jnp.where(spi == k, st[k], got)
+    return got
+
+
+def _pick_row3(st: Vec3, spi, D) -> Vec3:
+    return Vec3(_pick_row(st.x, spi, D), _pick_row(st.y, spi, D),
+                _pick_row(st.z, spi, D))
+
+
+def _put_row(st, sp, mask, val, D):
+    """Per-lane stack write at slot sp where ``mask``."""
+    return jnp.stack([jnp.where((sp == k) & mask, val, st[k])
+                      for k in range(D)], axis=0)
+
+
+def _put_row3(st: Vec3, sp, mask, val: Vec3, D) -> Vec3:
+    return Vec3(_put_row(st.x, sp, mask, val.x, D),
+                _put_row(st.y, sp, mask, val.y, D),
+                _put_row(st.z, sp, mask, val.z, D))
+
+
 def render_rays(scene: T.Scene, rays: intersect.Rays,
-                bg_radiance: jnp.ndarray, key: jax.Array,
+                bg_radiance, key: jax.Array,
                 differentiable: bool = True) -> jnp.ndarray:
     """Shade a batch of camera rays to radiance [N, 3].
 
@@ -146,6 +173,8 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
     """
     # host (numpy) scene leaves cannot be indexed by traced lane ids
     scene = jax.tree_util.tree_map(jnp.asarray, scene)
+    if not isinstance(bg_radiance, Vec3):
+        bg_radiance = Vec3.from_array(jnp.asarray(bg_radiance))
     N = rays.o.shape[0]
     D = max(scene.max_depth, 1)
     mats = scene.materials
@@ -156,14 +185,15 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
         active=jnp.ones((N,), bool),
         is_primary=jnp.ones((N,), bool),
         o=rays.o, d=rays.d, time=rays.time,
-        tput=jnp.ones((N, 3)),
+        tput=Vec3.ones((N,)),
         depth=jnp.full((N,), scene.max_depth, jnp.int32),
-        sigma=jnp.zeros((N, 3)),
-        radiance=jnp.zeros((N, 3)),
+        sigma=Vec3.zeros((N,)),
+        radiance=Vec3.zeros((N,)),
         sp=jnp.zeros((N,), jnp.int32),
-        st_o=jnp.zeros((N, D, 3)), st_d=jnp.zeros((N, D, 3)),
-        st_tput=jnp.zeros((N, D, 3)), st_depth=jnp.zeros((N, D), jnp.int32),
-        st_sigma=jnp.zeros((N, D, 3)),
+        st_o=Vec3.zeros((D, N)), st_d=Vec3.zeros((D, N)),
+        st_tput=Vec3.zeros((D, N)),
+        st_depth=jnp.zeros((D, N), jnp.int32),
+        st_sigma=Vec3.zeros((D, N)),
     )
 
     # Upper bound on iterations = max nodes of a depth-D binary split tree
@@ -181,19 +211,11 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
         popping = (~s.active) & (s.sp > 0)
         spi = jnp.maximum(s.sp - 1, 0)
 
-        def pick(st, cur):
-            got = jnp.take_along_axis(
-                st, spi[:, None, None] if st.ndim == 3 else spi[:, None],
-                axis=1)
-            got = got[:, 0] if st.ndim == 3 else got[:, 0]
-            m = popping[:, None] if cur.ndim == 2 else popping
-            return jnp.where(m, got, cur)
-
-        o = pick(s.st_o, s.o)
-        d = pick(s.st_d, s.d)
-        tput = pick(s.st_tput, s.tput)
-        depth = pick(s.st_depth, s.depth)
-        sigma = pick(s.st_sigma, s.sigma)
+        o = vwhere(popping, _pick_row3(s.st_o, spi, D), s.o)
+        d = vwhere(popping, _pick_row3(s.st_d, spi, D), s.d)
+        tput = vwhere(popping, _pick_row3(s.st_tput, spi, D), s.tput)
+        depth = jnp.where(popping, _pick_row(s.st_depth, spi, D), s.depth)
+        sigma = vwhere(popping, _pick_row3(s.st_sigma, spi, D), s.sigma)
         sp = jnp.where(popping, spi, s.sp)
         active = s.active | popping
 
@@ -209,8 +231,10 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
         # Beer attenuation of the segment just resolved (world dirs are unit
         # length so the segment length is t; src/Scene.cpp:110-115,130-133).
         # det.t is the differentiable recompute of hit.t (same bits).
-        seg = jnp.exp(-sigma * jnp.where(hit_valid, det.t, 0.0)[:, None])
-        tput = tput * seg
+        seg_t = jnp.where(hit_valid, det.t, 0.0)
+        tput = tput * Vec3(jnp.exp(-sigma.x * seg_t),
+                           jnp.exp(-sigma.y * seg_t),
+                           jnp.exp(-sigma.z * seg_t))
 
         # ---- emissions ----
         iter_key = jax.random.fold_in(key, s.it)
@@ -219,13 +243,11 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
 
         # background for primary misses
         miss_primary = active & ~hit_valid & s.is_primary
-        radiance = s.radiance + jnp.where(miss_primary[:, None],
-                                          bg_radiance, 0.0)
+        radiance = s.radiance + vwhere(miss_primary, bg_radiance, 0.0)
 
         # ReplaceAll short-circuit on primary hits (src/Scene.cpp:232-234)
         replace_all = hit_valid & s.is_primary & (tex.dm == T.DECAL_REPLACE_ALL)
-        radiance = radiance + jnp.where(replace_all[:, None],
-                                        tput * tex.tex_color, 0.0)
+        radiance = radiance + vwhere(replace_all, tput * tex.tex_color, 0.0)
 
         shading_lane = hit_valid & ~replace_all
         as_normal = shading_lane & ((mtype == T.MAT_NORMAL) | (depth <= 0))
@@ -233,7 +255,7 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
         as_conductor = shading_lane & ~as_normal & (mtype == T.MAT_CONDUCTOR)
         as_dielectric = shading_lane & ~as_normal & (mtype == T.MAT_DIELECTRIC)
 
-        entering = dot(d, normal) < 0
+        entering = vdot(d, normal) < 0
         emits = as_normal | as_mirror | as_conductor | (as_dielectric & entering)
 
         sp_point = ShadePoint(
@@ -242,15 +264,14 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
             time=s.time, valid=emits,
         )
         basic = direct_lighting(scene, sp_point, iter_key)
-        radiance = radiance + scrub_nan(
-            jnp.where(emits[:, None], tput * basic, 0.0))
+        radiance = radiance + vscrub_nan(vwhere(emits, tput * basic, 0.0))
 
         # ---- continuation rays ----
         eps = scene.shadow_eps
-        chi = jax.random.uniform(jax.random.fold_in(iter_key, 7), (N, 2)) - 0.5
-        wr = reflect(d, normal)
+        chi = jax.random.uniform(jax.random.fold_in(iter_key, 7), (2, N)) - 0.5
+        wr = vreflect(d, normal)
         wr = _glossy_perturb(wr, mats.roughness[mat_idx],
-                             mats.is_rough[mat_idx], chi)
+                             mats.is_rough[mat_idx], chi[0], chi[1])
         refl_o = det.point + normal * eps      # src/Scene.cpp:50 (always +n)
         f_cond = _conductor_fresnel(mats.refraction[mat_idx],
                                     mats.absorption_index[mat_idx], d, normal)
@@ -260,67 +281,65 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
         nt = mats.refraction[mat_idx]
         diel = mtype == T.MAT_DIELECTRIC
         nt_s = jnp.where(diel, nt, 1.0)
-        no = jnp.where(entering[:, None], normal, -normal)
+        no = vwhere(entering, normal, -normal)
         snell = jnp.where(entering, 1.0 / nt_s, nt_s)
         t_dir, tir = _refract(d, no, snell, diel)
-        refr_o = det.point - eps * no
+        refr_o = det.point - no * eps
         n_t = jnp.where(entering, nt_s, 1.0)
         n_i = jnp.where(entering, 1.0, nt_s)
         fr = _fresnel_dielectric(n_t, n_i, d, t_dir, no)
         fr = jnp.where(tir, 1.0, fr)
-        absorb = mats.absorption_coef[mat_idx]
+        absorb = Vec3(mats.absorption_coef[mat_idx, 0],
+                      mats.absorption_coef[mat_idx, 1],
+                      mats.absorption_coef[mat_idx, 2])
 
         # mirror/conductor continuation
         cont_reflect = as_mirror | as_conductor | (as_dielectric & ~entering & tir)
         # dielectric-entering continues with refraction
         cont_refract = as_dielectric & (entering | (~entering & ~tir))
 
-        new_o = jnp.where(cont_refract[:, None], refr_o, refl_o)
-        new_d = jnp.where(cont_refract[:, None], t_dir, wr)
-        mfac = mats.mirror[mat_idx]
-        w_mirror = jnp.where(as_conductor[:, None],
-                             mfac * f_cond[:, None], mfac)
-        w_tir = jnp.ones((N, 3))
-        w_next = jnp.where(cont_refract[:, None], (1.0 - fr)[:, None],
-                           jnp.where((as_dielectric & tir)[:, None], w_tir,
-                                     w_mirror))
-        sigma_next = jnp.where(
-            (as_dielectric & entering)[:, None], absorb,
-            jnp.where((as_dielectric & ~entering & tir)[:, None], absorb, 0.0))
+        new_o = vwhere(cont_refract, refr_o, refl_o)
+        new_d = vwhere(cont_refract, t_dir, wr)
+        mfac = Vec3(mats.mirror[mat_idx, 0], mats.mirror[mat_idx, 1],
+                    mats.mirror[mat_idx, 2])
+        w_mirror = vwhere(as_conductor, mfac * f_cond, mfac)
+        w_next = vwhere(cont_refract, Vec3(1.0 - fr, 1.0 - fr, 1.0 - fr),
+                        vwhere(as_dielectric & tir, Vec3.ones((N,)),
+                               w_mirror))
+        sigma_next = vwhere(as_dielectric & entering, absorb,
+                            vwhere(as_dielectric & ~entering & tir, absorb,
+                                   0.0))
 
         continues = (cont_reflect | cont_refract)
         # kill lanes whose continuation carries NaN (subtree contributes 0,
         # mirroring NanCheck of src/Scene.cpp:221-228)
-        bad = jnp.any(jnp.isnan(new_d) | jnp.isnan(new_o), axis=-1) | \
-            jnp.any(jnp.isnan(tput), axis=-1)
+        bad = vany_nan(new_d) | vany_nan(new_o) | vany_nan(tput)
         continues = continues & ~bad
 
         # ---- dielectric split: push the reflected branch ----
         pushes = as_dielectric & ~tir & ~bad
-        push_tput = tput * fr[:, None]
-        push_sigma = jnp.where((~entering)[:, None],
-                               absorb, jnp.zeros((N, 3)))
-        slot = jnp.arange(D)[None, :] == sp[:, None]        # [N, D]
-        put = (slot & pushes[:, None])
-        st_o = jnp.where(put[..., None], refl_o[:, None, :], s.st_o)
-        st_d = jnp.where(put[..., None], wr[:, None, :], s.st_d)
-        st_tput = jnp.where(put[..., None], push_tput[:, None, :], s.st_tput)
-        st_depth = jnp.where(put, (depth - 1)[:, None], s.st_depth)
-        st_sigma = jnp.where(put[..., None], push_sigma[:, None, :], s.st_sigma)
+        push_tput = tput * fr
+        push_sigma = vwhere(~entering, absorb, Vec3.zeros((N,)))
+        put = pushes & (sp < D)
+        st_o = _put_row3(s.st_o, sp, put, refl_o, D)
+        st_d = _put_row3(s.st_d, sp, put, wr, D)
+        st_tput = _put_row3(s.st_tput, sp, put, push_tput, D)
+        st_depth = _put_row(s.st_depth, sp, put, depth - 1, D)
+        st_sigma = _put_row3(s.st_sigma, sp, put, push_sigma, D)
         sp = jnp.where(pushes & (sp < D), sp + 1, sp)
 
-        tput = tput * jnp.where(continues[:, None], w_next, 1.0)
+        tput = tput * vwhere(continues, w_next, 1.0)
 
         return _State(
             it=s.it + 1,
             active=continues,
             is_primary=s.is_primary & jnp.zeros_like(continues),
-            o=jnp.where(continues[:, None], new_o, o),
-            d=jnp.where(continues[:, None], new_d, d),
+            o=vwhere(continues, new_o, o),
+            d=vwhere(continues, new_d, d),
             time=s.time,
             tput=tput,
             depth=jnp.where(continues, depth - 1, depth),
-            sigma=jnp.where(continues[:, None], sigma_next, sigma),
+            sigma=vwhere(continues, sigma_next, sigma),
             radiance=radiance,
             sp=sp, st_o=st_o, st_d=st_d, st_tput=st_tput,
             st_depth=st_depth, st_sigma=st_sigma,
@@ -332,4 +351,4 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
                                   state)
     else:
         final = jax.lax.while_loop(cond, body, state)
-    return final.radiance
+    return final.radiance.to_array()

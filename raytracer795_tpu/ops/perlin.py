@@ -9,6 +9,8 @@ Behavior contract (src/Perlin.cpp):
   with non-negative mod (src/Perlin.cpp:86-97);
 - noise conversions: linear -> (v+1)/2, absval -> |v| (src/Perlin.cpp:76-81);
 - bump gradient via forward differences with eps=0.001 (src/Perlin.cpp:36-50).
+
+Points are lane-major ``Vec3`` (three [N] arrays, utils/vec3.py).
 """
 
 from __future__ import annotations
@@ -17,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from raytracer795_tpu.scene import types as T
+from raytracer795_tpu.utils.vec3 import Vec3
 
 _TABLE = np.array([
     [1, 1, 0], [-1, 1, 0], [1, -1, 0], [-1, -1, 0],
@@ -36,28 +39,35 @@ def _weight(x: jnp.ndarray) -> jnp.ndarray:
     return ((-6.0) * x**5) + (15.0 * x**4) - (10.0 * x**3) + 1.0
 
 
-def _hash(lattice: jnp.ndarray) -> jnp.ndarray:
-    """lattice [..., 3] int32 -> gradient index [...]."""
+def _hash(lx, ly, lz) -> jnp.ndarray:
+    """Lattice int components -> gradient index (src/Perlin.cpp:86-97)."""
     shuffled = jnp.asarray(_SHUFFLED)
-    h = shuffled[jnp.mod(lattice[..., 2], 16)]
-    h = shuffled[jnp.mod(lattice[..., 1] + h, 16)]
-    return shuffled[jnp.mod(lattice[..., 0] + h, 16)]
+    h = shuffled[jnp.mod(lz, 16)]
+    h = shuffled[jnp.mod(ly + h, 16)]
+    return shuffled[jnp.mod(lx + h, 16)]
 
 
-def perlin(p: jnp.ndarray, scale, nc: int) -> jnp.ndarray:
-    """Noise value for points p [..., 3] (src/Perlin.cpp:52-84)."""
-    table = jnp.asarray(_TABLE)
-    point = p * scale
-    base = jnp.floor(point).astype(jnp.int32)       # [..., 3]
-    value = jnp.zeros(p.shape[:-1], p.dtype)
+def perlin(p: Vec3, scale, nc: int) -> jnp.ndarray:
+    """Noise value for lane points p (src/Perlin.cpp:52-84)."""
+    tx = jnp.asarray(_TABLE[:, 0])
+    ty = jnp.asarray(_TABLE[:, 1])
+    tz = jnp.asarray(_TABLE[:, 2])
+    px, py, pz = p.x * scale, p.y * scale, p.z * scale
+    bx = jnp.floor(px).astype(jnp.int32)
+    by = jnp.floor(py).astype(jnp.int32)
+    bz = jnp.floor(pz).astype(jnp.int32)
+    value = jnp.zeros(px.shape, px.dtype)
     for i in range(2):
         for j in range(2):
             for k in range(2):
-                lattice = base + jnp.asarray([i, j, k], jnp.int32)
-                grad = table[_hash(lattice)]        # [..., 3]
-                rel = point - lattice.astype(point.dtype)
-                w = _weight(rel[..., 0]) * _weight(rel[..., 1]) * _weight(rel[..., 2])
-                value = value + jnp.sum(grad * rel, axis=-1) * w
+                lx, ly, lz = bx + i, by + j, bz + k
+                gi = _hash(lx, ly, lz)
+                gx, gy, gz = tx[gi], ty[gi], tz[gi]
+                rx = px - lx.astype(px.dtype)
+                ry = py - ly.astype(px.dtype)
+                rz = pz - lz.astype(px.dtype)
+                w = _weight(rx) * _weight(ry) * _weight(rz)
+                value = value + (gx * rx + gy * ry + gz * rz) * w
     if nc == T.NC_LINEAR:
         value = (value + 1.0) * 0.5
     elif nc == T.NC_ABSVAL:
@@ -65,15 +75,14 @@ def perlin(p: jnp.ndarray, scale, nc: int) -> jnp.ndarray:
     return value
 
 
-def perlin_gradient(p: jnp.ndarray, scale, nc: int) -> jnp.ndarray:
+def perlin_gradient(p: Vec3, scale, nc: int) -> Vec3:
     """Forward-difference gradient, eps=0.001 (src/Perlin.cpp:36-50).
 
     Kept finite-difference (not autodiff) for bit-level parity with the
     reference's bump mapping.
     """
     v0 = perlin(p, scale, nc)
-    grads = []
-    for axis in range(3):
-        dp = p.at[..., axis].add(_EPS)
-        grads.append((perlin(dp, scale, nc) - v0) / _EPS)
-    return jnp.stack(grads, axis=-1)
+    gx = (perlin(Vec3(p.x + _EPS, p.y, p.z), scale, nc) - v0) / _EPS
+    gy = (perlin(Vec3(p.x, p.y + _EPS, p.z), scale, nc) - v0) / _EPS
+    gz = (perlin(Vec3(p.x, p.y, p.z + _EPS), scale, nc) - v0) / _EPS
+    return Vec3(gx, gy, gz)

@@ -1,4 +1,4 @@
-"""Texture sampling and decal application.
+"""Texture sampling and decal application (lane-major Vec3 layout).
 
 Sampling contract (src/Texture.cpp:41-131): wrap uv by u-floor(u), scale by
 width/height, clamp pixel fetches to the image, nearest = int truncation,
@@ -10,6 +10,9 @@ textures apply in order; replace_kd/blend_kd/replace_all set the hit's
 diffuse-replacement color + normalizer, replace_normal/bump_normal rewrite
 the shading normal via TBN / derivative math, perlin variants use the noise
 field at the local hit point.
+
+Pixel fetches gather per color plane (three [N] gathers from flattened
+[H*W] planes) so no [N, 3] temporaries are built.
 """
 
 from __future__ import annotations
@@ -21,61 +24,72 @@ import jax.numpy as jnp
 from raytracer795_tpu.ops import perlin as perlin_ops
 from raytracer795_tpu.ops.intersect import HitDetails
 from raytracer795_tpu.scene import types as T
-from raytracer795_tpu.utils.vecmath import (dot, masked_normalize, mat3_apply,
-                                            normalize)
+from raytracer795_tpu.utils.vec3 import (Vec3, vcross, vdot,
+                                         vmasked_normalize, vnormalize,
+                                         vwhere)
 
 
 class TexturedHit(NamedTuple):
     dm: jnp.ndarray             # [N] int32 decal mode for diffuse (DECAL_*)
-    tex_color: jnp.ndarray      # [N, 3]
+    tex_color: Vec3
     tex_normalizer: jnp.ndarray  # [N]
-    normal: jnp.ndarray         # [N, 3] possibly rewritten by normal maps
+    normal: Vec3                # possibly rewritten by normal maps
 
 
-def sample_image(tex: T.Texture, uv: jnp.ndarray) -> jnp.ndarray:
-    """GetColorAtCoordinates (src/Texture.cpp:111-131). uv [N,2] -> [N,3]."""
+def _planes(tex: T.Texture):
     img = tex.image
     h, w = img.shape[0], img.shape[1]
-    u = uv[:, 0] - jnp.floor(uv[:, 0])
-    v = uv[:, 1] - jnp.floor(uv[:, 1])
+    flat = img.reshape(h * w, 3)
+    return (flat[:, 0], flat[:, 1], flat[:, 2]), h, w
+
+
+def sample_image(tex: T.Texture, u: jnp.ndarray, v: jnp.ndarray) -> Vec3:
+    """GetColorAtCoordinates (src/Texture.cpp:111-131). [N] uv -> Vec3."""
+    (pr, pg, pb), h, w = _planes(tex)
+    u = u - jnp.floor(u)
+    v = v - jnp.floor(v)
     i = u * w
     j = v * h
 
     def fetch(ii, jj):
         ii = jnp.clip(ii, 0, w - 1)
         jj = jnp.clip(jj, 0, h - 1)
-        return img[jj, ii]
+        idx = jj * w + ii
+        return Vec3(pr[idx], pg[idx], pb[idx])
 
     if tex.interp == T.INTERP_NN:
         return fetch(i.astype(jnp.int32), j.astype(jnp.int32))
     i0 = jnp.floor(i).astype(jnp.int32)
     j0 = jnp.floor(j).astype(jnp.int32)
-    a = (i - i0)[:, None]
-    b = (j - j0)[:, None]
-    return ((1 - a) * (1 - b) * fetch(i0, j0)
-            + (1 - a) * b * fetch(i0, j0 + 1)
-            + a * (1 - b) * fetch(i0 + 1, j0)
-            + a * b * fetch(i0 + 1, j0 + 1))
+    a = i - i0
+    b = j - j0
+    return (fetch(i0, j0) * ((1 - a) * (1 - b))
+            + fetch(i0, j0 + 1) * ((1 - a) * b)
+            + fetch(i0 + 1, j0) * (a * (1 - b))
+            + fetch(i0 + 1, j0 + 1) * (a * b))
 
 
-def sample_gradient(tex: T.Texture, uv: jnp.ndarray) -> jnp.ndarray:
-    """GetChangeAtCoordinates (src/Texture.cpp:76-109): (du, dv) [N,2]."""
-    img = tex.image
-    h, w = img.shape[0], img.shape[1]
-    u = uv[:, 0] - jnp.floor(uv[:, 0])
-    v = uv[:, 1] - jnp.floor(uv[:, 1])
+def sample_gradient(tex: T.Texture, u: jnp.ndarray, v: jnp.ndarray):
+    """GetChangeAtCoordinates (src/Texture.cpp:76-109): (du, dv) [N] each."""
+    (pr, pg, pb), h, w = _planes(tex)
+    u = u - jnp.floor(u)
+    v = v - jnp.floor(v)
     i = jnp.clip((u * w).astype(jnp.int32), 0, w - 2)
     j = jnp.clip((v * h).astype(jnp.int32), 0, h - 2)
 
     def fetch(ii, jj):
         ii = jnp.clip(ii, 0, w - 1)
         jj = jnp.clip(jj, 0, h - 1)
-        return img[jj, ii]
+        idx = jj * w + ii
+        return Vec3(pr[idx], pg[idx], pb[idx])
+
+    def mean3(c: Vec3):
+        return (c.x + c.y + c.z) / 3.0
 
     c00 = fetch(i, j)
-    du = jnp.mean(fetch(i + 1, j), axis=-1) - jnp.mean(c00, axis=-1)
-    dv = jnp.mean(fetch(i, j + 1) - c00, axis=-1)
-    return jnp.stack([du, dv], axis=-1)
+    du = mean3(fetch(i + 1, j)) - mean3(c00)
+    dv = mean3(fetch(i, j + 1) - c00)
+    return du, dv
 
 
 def _sphere_dp(det: HitDetails):
@@ -83,17 +97,15 @@ def _sphere_dp(det: HitDetails):
     lc = det.local_point - det.local_center
     pi = jnp.pi
     sel = det.valid & det.is_sphere
-    cos_t = jnp.clip(lc[:, 1] / jnp.where(det.radius > 0, det.radius, 1.0),
+    cos_t = jnp.clip(lc.y / jnp.where(det.radius > 0, det.radius, 1.0),
                      -1.0, 1.0)
     # double-where: dead lanes clip to +/-1 where arccos' grad is infinite
     theta = jnp.arccos(jnp.where(sel, cos_t, 0.0))
-    phi = jnp.arctan2(lc[:, 2], jnp.where(sel, lc[:, 0], 1.0))
-    dpdu = jnp.stack([lc[:, 2] * 2 * pi,
-                      jnp.zeros_like(phi),
-                      lc[:, 0] * (-2) * pi], axis=-1)
-    dpdv = jnp.stack([lc[:, 1] * jnp.cos(phi) * pi,
-                      (-1.0) * det.radius * jnp.sin(theta) * pi,
-                      lc[:, 1] * jnp.sin(phi) * pi], axis=-1)
+    phi = jnp.arctan2(lc.z, jnp.where(sel, lc.x, 1.0))
+    dpdu = Vec3(lc.z * 2 * pi, jnp.zeros_like(phi), lc.x * (-2) * pi)
+    dpdv = Vec3(lc.y * jnp.cos(phi) * pi,
+                (-1.0) * det.radius * jnp.sin(theta) * pi,
+                lc.y * jnp.sin(phi) * pi)
     return dpdu, dpdv
 
 
@@ -102,14 +114,16 @@ def _tri_tb(det: HitDetails):
 
     Solves A @ TB = E with A = [[du1, dv1], [du2, dv2]], E = [e1; e2].
     """
-    duv1 = det.tri_uv1 - det.tri_uv0
-    duv2 = det.tri_uv2 - det.tri_uv0
-    det_a = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    du1 = det.uv1u - det.uv0u
+    dv1 = det.uv1v - det.uv0v
+    du2 = det.uv2u - det.uv0u
+    dv2 = det.uv2v - det.uv0v
+    det_a = du1 * dv2 - dv1 * du2
     # safe-div form (1/0 before the where would NaN the backward pass)
     ok = det_a != 0
-    inv = jnp.where(ok, 1.0 / jnp.where(ok, det_a, 1.0), 0.0)[:, None]
-    t_vec = (duv2[:, 1:2] * det.tri_e1 - duv1[:, 1:2] * det.tri_e2) * inv
-    b_vec = (-duv2[:, 0:1] * det.tri_e1 + duv1[:, 0:1] * det.tri_e2) * inv
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, det_a, 1.0), 0.0)
+    t_vec = (det.tri_e1 * dv2 - det.tri_e2 * dv1) * inv
+    b_vec = (det.tri_e1 * (-du2) + det.tri_e2 * du1) * inv
     return t_vec, b_vec
 
 
@@ -126,7 +140,7 @@ def apply_textures(scene: T.Scene, det: HitDetails) -> TexturedHit:
     """
     N = det.normal.shape[0]
     dm = jnp.full((N,), T.DECAL_NONE, jnp.int32)
-    tex_color = jnp.zeros((N, 3))
+    tex_color = Vec3.zeros((N,))
     tex_norm = jnp.ones((N,))
 
     # All math below runs on the LOCAL-space normal; the reference textures
@@ -143,61 +157,58 @@ def apply_textures(scene: T.Scene, det: HitDetails) -> TexturedHit:
                 continue
             if ttype == T.TEX_IMAGE:
                 if decal in (T.DECAL_REPLACE_KD, T.DECAL_BLEND_KD, T.DECAL_REPLACE_ALL):
-                    color = sample_image(tex, det.uv)
+                    color = sample_image(tex, det.u, det.v)
                     dm = jnp.where(use, decal, dm)
-                    tex_color = jnp.where(use[:, None], color, tex_color)
+                    tex_color = vwhere(use, color, tex_color)
                     tex_norm = jnp.where(use, tex.normalizer, tex_norm)
                 elif decal == T.DECAL_REPLACE_NORMAL:
-                    rn = sample_image(tex, det.uv) / 255.0
-                    rn = normalize(rn - 0.5)
+                    rn = vnormalize(sample_image(tex, det.u, det.v) / 255.0
+                                    - 0.5)
                     dpdu_s, dpdv_s = _sphere_dp(det)
                     t_vec, b_vec = _tri_tb(det)
-                    tt = jnp.where(det.is_sphere[:, None],
-                                   normalize(dpdu_s), t_vec)
-                    bb = jnp.where(det.is_sphere[:, None],
-                                   normalize(dpdv_s), b_vec)
+                    tt = vwhere(det.is_sphere, vnormalize(dpdu_s), t_vec)
+                    bb = vwhere(det.is_sphere, vnormalize(dpdv_s), b_vec)
                     # TBN columns: T, B, N (src/Shape.cpp:438-443,548-553);
                     # sphere T/B are normalized, triangle T/B are NOT.
-                    newn = (tt * rn[:, 0:1] + bb * rn[:, 1:2]
-                            + cur_n * rn[:, 2:3])
-                    cur_n = jnp.where(use[:, None], newn, cur_n)
+                    newn = tt * rn.x + bb * rn.y + cur_n * rn.z
+                    cur_n = vwhere(use, newn, cur_n)
                 elif decal == T.DECAL_BUMP_NORMAL:
-                    deriv = sample_gradient(tex, det.uv) * tex.bump_factor
+                    du, dv = sample_gradient(tex, det.u, det.v)
+                    du = du * tex.bump_factor
+                    dv = dv * tex.bump_factor
                     dpdu_s, dpdv_s = _sphere_dp(det)
                     t_vec, b_vec = _tri_tb(det)
-                    tt = jnp.where(det.is_sphere[:, None], dpdu_s, t_vec)
-                    bb = jnp.where(det.is_sphere[:, None], dpdv_s, b_vec)
-                    dpu = tt + deriv[:, 0:1] * cur_n
-                    dpv = bb + deriv[:, 1:2] * cur_n
-                    newn = normalize(jnp.cross(dpv, dpu))
+                    tt = vwhere(det.is_sphere, dpdu_s, t_vec)
+                    bb = vwhere(det.is_sphere, dpdv_s, b_vec)
+                    dpu = tt + cur_n * du
+                    dpv = bb + cur_n * dv
+                    newn = vnormalize(vcross(dpv, dpu))
                     # orient along the old normal (src/Shape.cpp:464-471)
-                    flip = dot(cur_n, newn) < 0
-                    newn = jnp.where(flip[:, None], -newn, newn)
-                    cur_n = jnp.where(use[:, None], newn, cur_n)
+                    flip = vdot(cur_n, newn) < 0
+                    newn = vwhere(flip, -newn, newn)
+                    cur_n = vwhere(use, newn, cur_n)
             else:  # Perlin
                 if decal == T.DECAL_REPLACE_KD:
                     val = perlin_ops.perlin(det.local_point, tex.noise_scale, nc)
                     dm = jnp.where(use, T.DECAL_REPLACE_KD, dm)
-                    tex_color = jnp.where(use[:, None],
-                                          jnp.stack([val] * 3, -1), tex_color)
+                    tex_color = vwhere(use, Vec3(val, val, val), tex_color)
                     tex_norm = jnp.where(use, 1.0, tex_norm)
                 elif decal == T.DECAL_BUMP_NORMAL:
                     g = perlin_ops.perlin_gradient(det.local_point,
                                                    tex.noise_scale, nc)
-                    g_par = dot(g, cur_n)[:, None] * cur_n
+                    g_par = cur_n * vdot(g, cur_n)
                     newn = cur_n - (g - g_par) * tex.bump_factor
-                    flip = dot(cur_n, newn) < 0
-                    newn = jnp.where(flip[:, None], -newn, newn)
-                    newn = normalize(newn)
-                    cur_n = jnp.where(use[:, None], newn, cur_n)
+                    flip = vdot(cur_n, newn) < 0
+                    newn = vwhere(flip, -newn, newn)
+                    newn = vnormalize(newn)
+                    cur_n = vwhere(use, newn, cur_n)
 
     # world transform of the (possibly rewritten) local normal:
     # n_world = normalize((M^-1)^T n) once per hit (src/Helper.cpp:75-78).
     # Miss lanes carry a zero local normal whose normalize() is NaN — safe
     # under the forward masks, fatal in reverse mode; substitute a unit
     # vector there (masked_normalize) so dead lanes stay finite end to end.
-    world_n = masked_normalize(
-        det.valid, jnp.sum(det.minv_t * cur_n[:, None, :], axis=-1))
+    world_n = vmasked_normalize(det.valid, det.minv_t.apply(cur_n))
 
     return TexturedHit(dm=dm, tex_color=tex_color, tex_normalizer=tex_norm,
                        normal=world_n)

@@ -26,6 +26,7 @@ from raytracer795_tpu.ops import intersect
 from raytracer795_tpu.scene import types as T
 from raytracer795_tpu.scene.loader import load_scene
 from raytracer795_tpu.utils import image_io
+from raytracer795_tpu.utils.vec3 import Vec3
 
 # Max lanes per device launch; the sample dimension is chunked under it.
 MAX_LANES = 1 << 18
@@ -39,20 +40,22 @@ def _integrator(scene: T.Scene):
 
 
 def _pixel_uv(nx: int, ny: int, repeat: int, row0=0,
-              n_rows: int | None = None) -> jnp.ndarray:
+              n_rows: int | None = None):
+    """Per-lane pixel coordinates (u, v) as two [N] arrays."""
     if n_rows is None:
         n_rows = ny
     xs = jnp.arange(nx).astype(jnp.float32) / nx
     ys = (row0 + jnp.arange(n_rows)).astype(jnp.float32) / ny
-    uv = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1).reshape(-1, 2)
+    u = jnp.broadcast_to(xs[None, :], (n_rows, nx)).reshape(-1)
+    v = jnp.broadcast_to(ys[:, None], (n_rows, nx)).reshape(-1)
     if repeat > 1:
-        uv = jnp.repeat(uv, repeat, axis=0)
-    return uv
+        u = jnp.repeat(u, repeat)
+        v = jnp.repeat(v, repeat)
+    return u, v
 
 
 def _background_radiance(scene: T.Scene, rays: intersect.Rays,
-                         pixel_uv: jnp.ndarray, single_sample: bool
-                         ) -> jnp.ndarray:
+                         pixel_uv, single_sample: bool) -> Vec3:
     """Per-ray miss radiance (Scene::GetBackgroundColor, src/Scene.cpp:413-435).
 
     Quirk preserved: the single-sample path samples the background texture
@@ -60,15 +63,19 @@ def _background_radiance(scene: T.Scene, rays: intersect.Rays,
     (x, y) into (row, col) parameters (src/Scene.cpp:365-384 vs :431-432);
     the multisample path is oriented normally.
     """
-    n = rays.o.shape[0]
+    n = rays.time.shape[0]
     if scene.env_texture >= 0:
         return env_radiance(scene, rays.d)
     if scene.bg_texture >= 0:
         from raytracer795_tpu.ops.texture import sample_image
 
-        uv = pixel_uv[:, ::-1] if single_sample else pixel_uv
-        return sample_image(scene.textures[scene.bg_texture], uv)
-    return jnp.broadcast_to(scene.background, (n, 3))
+        pu, pv = pixel_uv
+        if single_sample:
+            pu, pv = pv, pu
+        return sample_image(scene.textures[scene.bg_texture], pu, pv)
+    bg = scene.background
+    return Vec3(jnp.broadcast_to(bg[0], (n,)), jnp.broadcast_to(bg[1], (n,)),
+                jnp.broadcast_to(bg[2], (n,)))
 
 
 @functools.partial(jax.jit, static_argnums=(1, 4))

@@ -32,7 +32,10 @@ def _random_rays(n, seed, lo=-2.0, hi=2.0):
     # a few exact-zero direction components to exercise the slab-test quirk
     d[: n // 8, 0] = 0.0
     d[n // 8: n // 4, 2] = 0.0
-    return intersect.Rays(o=jnp.asarray(o), d=jnp.asarray(d),
+    from raytracer795_tpu.utils.vec3 import Vec3
+
+    return intersect.Rays(o=Vec3.from_array(jnp.asarray(o)),
+                          d=Vec3.from_array(jnp.asarray(d)),
                           time=jnp.zeros(n))
 
 
