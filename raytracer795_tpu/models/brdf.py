@@ -35,8 +35,15 @@ def _conductor_fresnel(n_t, k_t, d: Vec3, normal: Vec3):
 
 
 def _mat3_rows(tbl, idx) -> Vec3:
-    """Gather a [M, 3] material table into lane components."""
-    return Vec3(tbl[idx, 0], tbl[idx, 1], tbl[idx, 2])
+    """Gather [M, 3] material-table rows into lane components.
+
+    ONE row gather (slice size 3) + column slices. Mixed advanced+scalar
+    indexing (``tbl[idx, 0]``) lowers to a scalar-offset gather that costs
+    ~3 ms per 262k lanes on v5e — measured as the single largest cost of the
+    round-2 frame — while the row gather runs at the dispatch floor.
+    """
+    rec = tbl[idx]
+    return Vec3(rec[:, 0], rec[:, 1], rec[:, 2])
 
 
 def term_brdf(wi: Vec3, wo: Vec3, normal: Vec3, mats, mat_idx) -> Vec3:

@@ -302,9 +302,7 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
         n_i = jnp.where(entering, 1.0, nt_s)
         fr = _fresnel_dielectric(n_t, n_i, s.d, t_dir, no)
         fr = jnp.where(tir, 1.0, fr)
-        absorb = Vec3(mats.absorption_coef[mat_idx, 0],
-                      mats.absorption_coef[mat_idx, 1],
-                      mats.absorption_coef[mat_idx, 2])
+        absorb = _mat3_rows(mats.absorption_coef, mat_idx)
         # stochastic branch pick: reflect with prob fr (weight cancels)
         pick_reflect = chi[3] < fr
         diel_d = vwhere(pick_reflect | tir, wr, t_dir)
@@ -318,8 +316,7 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
         new_d = vwhere(is_diffuse, d_diff,
                        vwhere(is_dielectric, diel_d, wr))
         new_o = vwhere(is_dielectric, diel_o, det.point + normal * eps)
-        mfac = Vec3(mats.mirror[mat_idx, 0], mats.mirror[mat_idx, 1],
-                    mats.mirror[mat_idx, 2])
+        mfac = _mat3_rows(mats.mirror, mat_idx)
         w_next = vwhere(is_diffuse, w_diff,
                         vwhere(is_mirror, mfac,
                                vwhere(is_conductor, mfac * f_cond,

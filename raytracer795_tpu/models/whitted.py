@@ -47,6 +47,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from raytracer795_tpu.models.brdf import _mat3_rows
 from raytracer795_tpu.models.lights import ShadePoint, direct_lighting
 from raytracer795_tpu.ops import intersect
 from raytracer795_tpu.ops.texture import apply_textures
@@ -289,9 +290,7 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
         n_i = jnp.where(entering, 1.0, nt_s)
         fr = _fresnel_dielectric(n_t, n_i, d, t_dir, no)
         fr = jnp.where(tir, 1.0, fr)
-        absorb = Vec3(mats.absorption_coef[mat_idx, 0],
-                      mats.absorption_coef[mat_idx, 1],
-                      mats.absorption_coef[mat_idx, 2])
+        absorb = _mat3_rows(mats.absorption_coef, mat_idx)
 
         # mirror/conductor continuation
         cont_reflect = as_mirror | as_conductor | (as_dielectric & ~entering & tir)
@@ -300,8 +299,7 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
 
         new_o = vwhere(cont_refract, refr_o, refl_o)
         new_d = vwhere(cont_refract, t_dir, wr)
-        mfac = Vec3(mats.mirror[mat_idx, 0], mats.mirror[mat_idx, 1],
-                    mats.mirror[mat_idx, 2])
+        mfac = _mat3_rows(mats.mirror, mat_idx)
         w_mirror = vwhere(as_conductor, mfac * f_cond, mfac)
         w_next = vwhere(cont_refract, Vec3(1.0 - fr, 1.0 - fr, 1.0 - fr),
                         vwhere(as_dielectric & tir, Vec3.ones((N,)),

@@ -575,23 +575,6 @@ def trace_anyhit(scene: T.Scene, rays: Rays, t_cap) -> jnp.ndarray:
     return found
 
 
-def trace_occlusion(scene: T.Scene, rays: Rays) -> Tuple[jnp.ndarray, Vec3]:
-    """Shadow query: (any hit, world hit point).
-
-    The reference runs the full nearest-hit dispatch for shadows too
-    (src/Light.cpp:188-204) and compares distances to the light; we return
-    the nearest hit point for the same comparison. Everything here is
-    stop-gradient: visibility is a discrete (piecewise-constant) decision,
-    and the miss-lane hit point is o + 3e38*d = inf, which must never touch
-    the AD tape.
-    """
-    sg = jax.lax.stop_gradient
-    rays = jax.tree_util.tree_map(sg, rays)
-    hit = trace(scene, rays)
-    point = rays.o + rays.d * hit.t
-    return hit.valid, point
-
-
 def compute_vertex_normals(scene: T.Scene) -> jnp.ndarray:
     """Accumulate flat normals of smooth triangles onto vertices.
 
@@ -671,25 +654,31 @@ def hit_details(scene: T.Scene, rays: Rays, hit: Hit,
     g = hit.group
 
     # ---- per-lane local ray via gathered group transforms ----
-    # [G]-sized per-component tables of M^-1, (M^-1)^T, blur (G is tiny).
-    minv = jnp.stack([gr.minv for gr in groups])            # [G, 4, 4]
-    minv_t3 = jnp.stack([gr.minv_t[:3, :3] for gr in groups])
-    blur = jnp.stack([gr.blur for gr in groups])            # [G, 3]
-    o_b = Vec3(rays.o.x - blur[g, 0] * rays.time,
-               rays.o.y - blur[g, 1] * rays.time,
-               rays.o.z - blur[g, 2] * rays.time)
+    # Flattened [G, 16/9/3] tables, ONE row gather each. Mixed
+    # advanced+scalar indexing (``minv[g, 0, 0]``) lowers to scalar-offset
+    # gathers at ~3 ms apiece per 262k lanes on v5e — 24 of them were the
+    # round-2 regression; row gathers + column slices run at the floor.
+    minv = jnp.stack([gr.minv.reshape(16) for gr in groups])        # [G, 16]
+    minv_t3 = jnp.stack([gr.minv_t[:3, :3].reshape(9) for gr in groups])
+    blur = jnp.stack([gr.blur for gr in groups])                    # [G, 3]
+    mrec = minv[g]          # [N, 16]
+    trec = minv_t3[g]       # [N, 9]
+    brec = blur[g]          # [N, 3]
+    o_b = Vec3(rays.o.x - brec[:, 0] * rays.time,
+               rays.o.y - brec[:, 1] * rays.time,
+               rays.o.z - brec[:, 2] * rays.time)
 
-    def lane_mat3(m, rows=3):
+    def lane_mat3(rec, stride):
         return Mat3(
-            Vec3(m[g, 0, 0], m[g, 0, 1], m[g, 0, 2]),
-            Vec3(m[g, 1, 0], m[g, 1, 1], m[g, 1, 2]),
-            Vec3(m[g, 2, 0], m[g, 2, 1], m[g, 2, 2]))
+            Vec3(rec[:, 0], rec[:, 1], rec[:, 2]),
+            Vec3(rec[:, stride], rec[:, stride + 1], rec[:, stride + 2]),
+            Vec3(rec[:, 2 * stride], rec[:, 2 * stride + 1],
+                 rec[:, 2 * stride + 2]))
 
-    mv3 = lane_mat3(minv)
-    local_o = mv3.apply(o_b) + Vec3(minv[g, 0, 3], minv[g, 1, 3],
-                                    minv[g, 2, 3])
+    mv3 = lane_mat3(mrec, 4)
+    local_o = mv3.apply(o_b) + Vec3(mrec[:, 3], mrec[:, 7], mrec[:, 11])
     local_d = mv3.apply(rays.d)
-    lane_minv_t = lane_mat3(minv_t3)
+    lane_minv_t = lane_mat3(trec, 3)
 
     # host-side global-id offsets from static per-group counts
     tri_offs = np.cumsum([0] + [gr.n_tris for gr in groups])

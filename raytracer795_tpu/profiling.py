@@ -70,8 +70,8 @@ def profile_scene(loaded, res=512, reps=5):
     stages = [
         ("ray_gen", lambda: camera_model.primary_rays(cam)),
         ("trace", lambda: intersect.trace(scene, rays)),
-        ("trace_occlusion",
-         lambda: intersect.trace_occlusion(scene, rays)),
+        ("trace_anyhit",
+         lambda: intersect.trace_anyhit(scene, rays, 100.0)),
         ("hit_details", lambda: intersect.hit_details(scene, rays, hit, vn)),
         ("apply_textures", lambda: apply_textures(scene, det)),
         ("direct_lighting", lambda: direct_lighting(scene, sp, key)),

@@ -575,7 +575,7 @@ def load_scene(xml_path: str,
         return tri, flat
 
     def make_group(name, tri, sph, matrix, blur, has_xform, obj_bbox=None,
-                   mat_override=None, bvh_key=None):
+                   bvh_key=None):
         tri, flat_bvh = maybe_bvh(tri, bvh_key)
         minv = np.linalg.inv(matrix) if has_xform else np.eye(4)
         minv_t = np.linalg.inv(matrix).T if has_xform else np.eye(4)
@@ -589,8 +589,7 @@ def load_scene(xml_path: str,
             obj_bbox=obj_bbox,
             minv=minv.astype(np.float32), minv_t=minv_t.astype(np.float32),
             blur=np.asarray(blur, np.float32),
-            name=name, mat_override=mat_override,
-            has_xform=has_xform,
+            name=name, has_xform=has_xform,
             n_tris=len(tri["tri_vidx"]), n_spheres=len(sph["sph_cidx"]),
             bvh=flat_bvh,
         )

@@ -14,7 +14,7 @@ Index conventions: ALL indices stored here are 0-based (the XML contract is
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import numpy as np
@@ -127,7 +127,7 @@ class FlatBVH:
     max_leaf: int
 
 
-@_dataclass_pytree(meta=("name", "mat_override", "has_xform", "n_tris", "n_spheres"))
+@_dataclass_pytree(meta=("name", "has_xform", "n_tris", "n_spheres"))
 class TraceGroup:
     """One intersectable unit: a set of primitives sharing one transform.
 
@@ -170,9 +170,9 @@ class TraceGroup:
     minv: Any           # [4, 4] world->local
     minv_t: Any         # [4, 4] inverse-transpose (normals)
     blur: Any           # [3] motion-blur translation per unit time
-    # static metadata
+    # static metadata. Instance material overrides are baked into tri_mat at
+    # load time (the runtime analogue of src/Helper.cpp:53-73's matIndex).
     name: str
-    mat_override: Optional[int]     # instance material override, 0-based
     has_xform: bool
     n_tris: int
     n_spheres: int
