@@ -159,19 +159,49 @@ def _put_row3(st: Vec3, sp, mask, val: Vec3, D) -> Vec3:
 
 def render_rays(scene: T.Scene, rays: intersect.Rays,
                 bg_radiance, key: jax.Array,
-                differentiable: bool = True) -> jnp.ndarray:
+                differentiable: bool = True,
+                max_iters: int | None = None) -> jnp.ndarray:
     """Shade a batch of camera rays to radiance [N, 3].
 
     ``differentiable=True`` (default) runs the lane machine as a
     static-trip-count ``fori_loop`` — reverse-mode differentiable, with the
     body checkpointed so the backward pass rematerializes instead of saving
-    every iteration's wavefront. The trip count is exact for the scene
-    class: D+1 iterations when no dielectric exists (ray trees are chains),
-    else the binary-split bound 2^(D+1) (capped). Extra iterations are
-    no-ops (all lanes idle), so both modes produce identical images;
-    ``differentiable=False`` keeps the early-exit ``while_loop`` for
-    forward-only rendering (CLI, goldens, bench).
+    every iteration's wavefront. ``max_iters=None`` uses the worst-case
+    bound, exact for the scene class: D+1 iterations when no dielectric
+    exists (ray trees are chains), else the binary-split bound 2^(D+1)
+    (capped) — exponential, so differentiable callers should instead pass
+    the measured bound from :func:`forward_iteration_count` (+ margin).
+    Extra iterations are no-ops (all lanes idle), so every trip count >= the
+    true one produces identical images; ``differentiable=False`` keeps the
+    early-exit ``while_loop`` for forward-only rendering (CLI, goldens,
+    bench) and ignores ``max_iters``.
     """
+    final = _render_machine(scene, rays, bg_radiance, key, differentiable,
+                            max_iters)
+    return final.radiance.to_array()
+
+
+def forward_iteration_count(scene: T.Scene, rays: intersect.Rays,
+                            bg_radiance, key: jax.Array) -> int:
+    """Measured iteration count of the forward lane machine (host int).
+
+    Runs the early-exit ``while_loop`` once and reports how many iterations
+    it actually took — the deepest lane's ray-tree size, typically ~2D+1 on
+    dielectric scenes vs the worst-case 2^(D+1) bound. Call this OUTSIDE any
+    jit/grad trace, then pass ``measured + margin`` as ``max_iters`` to the
+    differentiable render: the ray-tree topology is piecewise-constant in
+    the continuous scene parameters, so the measured trip stays valid under
+    the infinitesimal perturbations gradients (and FD checks) probe.
+    """
+    final = jax.jit(
+        lambda sc, r, bg, k: _render_machine(sc, r, bg, k, False, None).it
+    )(scene, rays, bg_radiance, key)
+    return int(final)
+
+
+def _render_machine(scene: T.Scene, rays: intersect.Rays,
+                    bg_radiance, key: jax.Array,
+                    differentiable: bool, max_iters: int | None) -> _State:
     # host (numpy) scene leaves cannot be indexed by traced lane ids
     scene = jax.tree_util.tree_map(jnp.asarray, scene)
     if not isinstance(bg_radiance, Vec3):
@@ -199,10 +229,11 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
 
     # Upper bound on iterations = max nodes of a depth-D binary split tree
     # when dielectrics can split a lane; a plain chain otherwise.
-    if scene.any_dielectric:
-        max_iters = min(2 ** (scene.max_depth + 1), 1024)
-    else:
-        max_iters = scene.max_depth + 1
+    if max_iters is None:
+        if scene.any_dielectric:
+            max_iters = min(2 ** (scene.max_depth + 1), 1024)
+        else:
+            max_iters = scene.max_depth + 1
 
     def cond(s: _State):
         return (s.it < max_iters) & jnp.any(s.active | (s.sp > 0))
@@ -349,4 +380,4 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
                                   state)
     else:
         final = jax.lax.while_loop(cond, body, state)
-    return final.radiance.to_array()
+    return final

@@ -28,7 +28,11 @@ import numpy as np
 from raytracer795_tpu import native
 from raytracer795_tpu.scene import types as T
 
-LEAF_SIZE = 4
+# Up to 36 primitives per leaf = 4 packed 9-triangle rows in the Pallas
+# traversal kernel (ops/pallas_bvh.py); the jnp fallback unrolls the same
+# block. Shallow-and-wide suits the vector units: a leaf visit is a fixed
+# run of full-width tests, and halving tree depth halves the scalar walk.
+LEAF_SIZE = 36
 MAX_DEPTH = 30  # reference depth cap (src/BVH.cpp:42,55)
 
 

@@ -51,6 +51,24 @@ _BIG = jnp.float32(3.0e38)
 _PRIM_CHUNK = 512
 
 
+def _pallas_mode():
+    """Traversal-kernel dispatch: 'on' (TPU), 'interp', or 'off' (CPU).
+
+    The Pallas packet-traversal kernel (ops/pallas_bvh.py) is the default
+    trace path on TPU; the jnp lockstep ``while_loop`` stays as the CPU /
+    fallback oracle. RT795_PALLAS=0 forces the fallback, =interp forces the
+    (slow) interpreter — useful for exercising the kernel in CPU tests.
+    """
+    import os
+
+    flag = os.environ.get("RT795_PALLAS", "1")
+    if flag == "0":
+        return "off"
+    if flag == "interp":
+        return "interp"
+    return "on" if jax.default_backend() != "cpu" else "off"
+
+
 class Rays(NamedTuple):
     o: Vec3             # [N] x3
     d: Vec3             # [N] x3
@@ -459,7 +477,16 @@ def trace(scene: T.Scene, rays: Rays) -> Hit:
         g_prim = jnp.zeros((N,), jnp.int32)
         g_sph = jnp.zeros((N,), bool)
         if group.n_tris:
-            if group.bvh is not None:
+            mode = _pallas_mode()
+            if group.bvh is not None and group.bvh_pack is not None \
+                    and mode != "off":
+                from raytracer795_tpu.ops import pallas_bvh
+
+                tk, tt, tidx = pallas_bvh.tri_bvh_nearest(
+                    group.bvh_pack, local.o, local.d, scene.int_eps,
+                    group.bvh.first.shape[0], group.bvh.max_leaf,
+                    interpret=(mode == "interp"))
+            elif group.bvh is not None:
                 tk, tt, tidx = _tri_bvh_candidates(scene, group, local)
             else:
                 bbox_ok = _bbox_pass(group, local)
@@ -562,7 +589,16 @@ def trace_anyhit(scene: T.Scene, rays: Rays, t_cap) -> jnp.ndarray:
     for group in scene.groups:
         local = _transform_rays(group, rays)
         if group.n_tris:
-            if group.bvh is not None:
+            mode = _pallas_mode()
+            if group.bvh is not None and group.bvh_pack is not None \
+                    and mode != "off":
+                from raytracer795_tpu.ops import pallas_bvh
+
+                found = found | pallas_bvh.tri_bvh_anyhit(
+                    group.bvh_pack, local.o, local.d, t_cap, scene.int_eps,
+                    group.bvh.first.shape[0], group.bvh.max_leaf,
+                    interpret=(mode == "interp"))
+            elif group.bvh is not None:
                 found = found | _tri_bvh_anyhit(scene, group, local, t_cap)
             else:
                 bbox_ok = _bbox_pass(group, local)

@@ -1,0 +1,420 @@
+"""Pallas TPU kernels: BVH traversal + triangle intersection (the hot loop).
+
+The reference's hot loops — recursive BVH walk + per-leaf triangle tests
+(src/BVH.cpp:137-210, src/Shape.cpp:113-155) — become ONE fused TPU kernel:
+a block-synchronous ("packet") walk of the flat skip-link BVH (ops/bvh.py).
+Each grid cell owns a block of 8x128 = 1024 rays held in vector registers;
+one scalar node pointer walks the DFS order for the whole block, the slab
+test and every triangle test are full-width VPU ops over all 1024 rays, and
+a node descends iff ANY lane wants it. There are NO per-lane gathers
+anywhere — the pattern XLA's lockstep `while_loop` formulation is bound by.
+
+Memory layout (built host-side by ``build_pack``):
+- ``node_rows`` [ceil(M/2), 128] f32 — TWO BVH nodes per VMEM row (lane
+  bases 0 and 64), read with a dynamic-sublane slice (the one
+  dynamic-indexing pattern Mosaic supports) + a scalar parity select per
+  field: lanes +0-2 bmin, +3-5 bmax, +6 first tri row, +7 leaf row count
+  (0 = inner), +8 skip link. Integers are exact in f32 (all < 2^24).
+- ``tri_rows`` [R, 128] f32 — 9 triangles per row, 13 components each
+  (a, e1 = a-b, e2 = a-c, ng = e1 x e2, prim id), 117 lanes used. Leaves own
+  [first, first+rows) of consecutive rows; pad slots carry ng = det = 0 and
+  self-reject in the Cramer test, so no count masking is needed.
+
+Semantics are EXACTLY those of the jnp reference path
+(ops/intersect.py ``_tri_bvh_candidates``/``_tri_bvh_anyhit``): the slab
+test keeps the reference's d == 0 inf/NaN rejection quirk
+(src/BVH.cpp:212-266), |t| ranking with strict-less updates
+(src/BVH.cpp:165-171), the safe ``entry > best`` prune, NaN/zero-direction
+rays dead on arrival (src/Helper.cpp:28-30). Block consensus is sound:
+child boxes are contained in parent boxes (so a lane can never hit a child
+after missing its parent — quirk cases included, they depend only on the
+ray, bounds ordering, and signs), and every per-lane update re-checks that
+lane's own box hit and ranking, so riding along to a node the lane would
+have pruned changes nothing.
+
+Scope: both the node and triangle tables must fit VMEM, bounding a single
+group at roughly ~140k triangles (the dragon-class meshes of
+pages/Page2.md:57); larger groups fall back to the jnp path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer795_tpu.scene import types as T
+
+TRIS_PER_ROW = 9
+COMPS = 13              # ax ay az e1x.. e2x.. ngx ngy ngz prim_id
+NODES_PER_ROW = 2
+NODE_STRIDE = 64
+BLOCK_ROWS = 32         # rays per block = BLOCK_ROWS x 128; measured on the
+#                         rock100k frame: 8 rows 105 ms, 16 -> 72, 32 -> 60,
+#                         64 -> 59 (512^2 rays) — the scalar node walk
+#                         amortizes across lanes until the block's node
+#                         union saturates the tree
+LANES = 128
+BLOCK = BLOCK_ROWS * LANES
+_BIG = 3.0e38   # plain float: a jnp scalar would be a captured kernel const
+
+# VMEM budget for the two packed tables (node + tri rows); a group whose
+# pack exceeds this must use the jnp fallback. ~12 MB of the ~16 MB VMEM.
+MAX_PACK_BYTES = 12 * 1024 * 1024
+
+
+class BVHPack(NamedTuple):
+    """Device tables for the traversal kernel (a jnp pytree)."""
+
+    node_rows: jnp.ndarray      # [M, 128] f32
+    tri_rows: jnp.ndarray       # [R, 128] f32
+
+
+def pack_nbytes(pack: "BVHPack") -> int:
+    return (pack.node_rows.size + pack.tri_rows.size) * 4
+
+
+def build_pack(flat: T.FlatBVH, verts: np.ndarray, tri_vidx: np.ndarray
+               ) -> BVHPack:
+    """Pack a flat BVH + its (leaf-ordered) triangles into kernel tables.
+
+    ``tri_vidx`` must already be in the BVH's permuted (leaf-contiguous)
+    order — exactly what the loader stores in the group after ``bvh.build``.
+    Leaf (first, count) prim ranges are re-addressed to (first_row, n_rows)
+    with per-slot prim ids, so the kernel needs no count arithmetic.
+    """
+    verts = np.asarray(verts, np.float32)
+    tri_vidx = np.asarray(tri_vidx, np.int32)
+    a = verts[tri_vidx[:, 0]]
+    b = verts[tri_vidx[:, 1]]
+    c = verts[tri_vidx[:, 2]]
+    e1 = a - b                      # reference column convention
+    e2 = a - c                      # (src/Shape.cpp:120-132)
+    ng = np.cross(e1, e2)
+
+    first = np.asarray(flat.first)
+    count = np.asarray(flat.count)
+    miss = np.asarray(flat.miss)
+    bmin = np.asarray(flat.bmin, np.float32)
+    bmax = np.asarray(flat.bmax, np.float32)
+    n_nodes = first.shape[0]
+
+    # --- triangle rows, leaf by leaf (vectorized over rows) ---
+    comp = np.concatenate([a, e1, e2, ng], axis=1)      # [T, 12]
+    node_first_row = np.zeros(n_nodes, np.int32)
+    node_n_rows = np.zeros(n_nodes, np.int32)
+    leaf_ids = np.nonzero(count > 0)[0]
+    if leaf_ids.size:
+        leaf_rows = -(-count[leaf_ids] // TRIS_PER_ROW)     # rows per leaf
+        row_start = np.concatenate([[0], np.cumsum(leaf_rows)])
+        node_first_row[leaf_ids] = row_start[:-1]
+        node_n_rows[leaf_ids] = leaf_rows
+        n_rows_total = int(row_start[-1])
+        row_leaf = np.repeat(np.arange(leaf_ids.size), leaf_rows)   # [R]
+        row_sub = np.arange(n_rows_total) - row_start[row_leaf]     # [R]
+        tri_rows = np.zeros((n_rows_total, LANES), np.float32)
+        r_first = first[leaf_ids][row_leaf]
+        r_count = count[leaf_ids][row_leaf]
+        for j in range(TRIS_PER_ROW):
+            k = row_sub * TRIS_PER_ROW + j
+            ok = k < r_count
+            prim = np.where(ok, r_first + k, 0)
+            base = j * COMPS
+            tri_rows[:, base:base + 12] = np.where(ok[:, None],
+                                                   comp[prim], 0.0)
+            tri_rows[:, base + 12] = np.where(ok, prim, 0).astype(np.float32)
+            # pad slots keep ng = 0 -> det = 0 -> self-rejecting
+    else:
+        tri_rows = np.zeros((1, LANES), np.float32)
+
+    fields = np.zeros((n_nodes, 9), np.float32)
+    fields[:, 0:3] = bmin
+    fields[:, 3:6] = bmax
+    fields[:, 6] = node_first_row.astype(np.float32)
+    fields[:, 7] = node_n_rows.astype(np.float32)
+    fields[:, 8] = miss.astype(np.float32)
+    n_rows_packed = -(-n_nodes // NODES_PER_ROW)
+    node_rows = np.zeros((n_rows_packed, LANES), np.float32)
+    for k in range(NODES_PER_ROW):
+        sl = fields[k::NODES_PER_ROW]
+        node_rows[:sl.shape[0], k * NODE_STRIDE:k * NODE_STRIDE + 9] = sl
+    return BVHPack(node_rows=jnp.asarray(node_rows),
+                   tri_rows=jnp.asarray(tri_rows))
+
+
+# --------------------------------------------------------------------------
+# Kernels
+# --------------------------------------------------------------------------
+
+def _slab(ox, oy, oz, dx, dy, dz, ix, iy, iz, bmin, bmax):
+    """Reference slab test (src/BVH.cpp:212-266) of one scalar box against
+    the whole ray block; d == 0 lanes reject via inf/NaN (quirk kept)."""
+    entry = jnp.full_like(ox, -jnp.inf)
+    exit_ = jnp.full_like(ox, jnp.inf)
+    for o, d, inv, k in ((ox, dx, ix, 0), (oy, dy, iy, 1), (oz, dz, iz, 2)):
+        lo, hi = bmin[k], bmax[k]
+        pos = d > 0
+        t_e = jnp.where(pos, (lo - o) * inv, (hi - o) * inv)
+        t_l = jnp.where(pos, (hi - o) * inv, (lo - o) * inv)
+        entry = jnp.maximum(entry, t_e)
+        exit_ = jnp.minimum(exit_, t_l)
+    return ~(exit_ < entry), entry
+
+
+def _tri_block_test(row, j, ox, oy, oz, dx, dy, dz, int_eps):
+    """Cramer test (src/Shape.cpp:120-132) of the row's j-th triangle
+    (static lane extraction) against the block. Returns (ok, t, prim)."""
+    base = j * COMPS
+    ax, ay, az = row[0, base + 0], row[0, base + 1], row[0, base + 2]
+    e1x, e1y, e1z = row[0, base + 3], row[0, base + 4], row[0, base + 5]
+    e2x, e2y, e2z = row[0, base + 6], row[0, base + 7], row[0, base + 8]
+    ngx, ngy, ngz = row[0, base + 9], row[0, base + 10], row[0, base + 11]
+    prim = row[0, base + 12]
+
+    aox, aoy, aoz = ax - ox, ay - oy, az - oz
+    # e2 x d (scalar e2, vector d)
+    cx = e2y * dz - e2z * dy
+    cy = e2z * dx - e2x * dz
+    cz = e2x * dy - e2y * dx
+    det = e1x * cx + e1y * cy + e1z * cz
+    inv_det = 1.0 / det
+    beta = (aox * cx + aoy * cy + aoz * cz) * inv_det
+    # e1 x d
+    gx = e1y * dz - e1z * dy
+    gy = e1z * dx - e1x * dz
+    gz = e1x * dy - e1y * dx
+    gamma = -(aox * gx + aoy * gy + aoz * gz) * inv_det
+    t = (ngx * aox + ngy * aoy + ngz * aoz) * inv_det
+    ok = ((t >= -int_eps) & (beta >= -int_eps) & (gamma >= -int_eps)
+          & (beta + gamma <= 1.0))
+    return ok, t, prim
+
+
+def _read_node(nodes_ref, node):
+    """One dynamic-sublane row read + parity selects -> node fields."""
+    import jax.experimental.pallas as pl
+
+    row = nodes_ref[pl.ds(node // NODES_PER_ROW, 1), :]
+    odd = (node % NODES_PER_ROW) == 1
+
+    def fld(k):
+        return jnp.where(odd, row[0, NODE_STRIDE + k], row[0, k])
+
+    bmin = (fld(0), fld(1), fld(2))
+    bmax = (fld(3), fld(4), fld(5))
+    first_row = fld(6).astype(jnp.int32)
+    n_rows = fld(7).astype(jnp.int32)
+    miss = fld(8).astype(jnp.int32)
+    return bmin, bmax, first_row, n_rows, miss
+
+
+def _ray_regs(o_refs, d_refs):
+    ox, oy, oz = (r[:] for r in o_refs)
+    dx, dy, dz = (r[:] for r in d_refs)
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    nan = (jnp.isnan(ox) | jnp.isnan(oy) | jnp.isnan(oz)
+           | jnp.isnan(dx) | jnp.isnan(dy) | jnp.isnan(dz))
+    alive = ~(nan | ((dx == 0.0) & (dy == 0.0) & (dz == 0.0)))
+    return ox, oy, oz, dx, dy, dz, ix, iy, iz, alive
+
+
+def _nearest_kernel(max_leaf_rows, n_nodes,
+                    eps_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                    nodes_ref, tris_ref,
+                    key_ref, t_ref, idx_ref):
+    import jax.experimental.pallas as pl
+
+    int_eps = eps_ref[0]
+    ox, oy, oz, dx, dy, dz, ix, iy, iz, alive = _ray_regs(
+        (ox_ref, oy_ref, oz_ref), (dx_ref, dy_ref, dz_ref))
+
+    key_ref[:] = jnp.full((BLOCK_ROWS, LANES), _BIG)
+    t_ref[:] = jnp.zeros((BLOCK_ROWS, LANES), jnp.float32)
+    idx_ref[:] = jnp.zeros((BLOCK_ROWS, LANES), jnp.int32)
+
+    def body(node):
+        bmin, bmax, first_row, n_rows, miss = _read_node(nodes_ref, node)
+
+        box_hit, entry = _slab(ox, oy, oz, dx, dy, dz, ix, iy, iz, bmin, bmax)
+        live = box_hit & ~(entry > key_ref[:]) & alive      # safe |t| prune
+        any_live = jnp.any(live)
+        is_leaf = n_rows > 0
+
+        # static row loop (leaf row counts are bounded by max_leaf_rows);
+        # each row's 9 triangle tests are statically unrolled lane slots
+        for r in range(max_leaf_rows):
+            @pl.when(any_live & (r < n_rows))
+            def _(r=r):
+                row = tris_ref[pl.ds(first_row + r, 1), :]
+                best_key = key_ref[:]
+                best_t = t_ref[:]
+                best_idx = idx_ref[:]
+                for j in range(TRIS_PER_ROW):
+                    ok, t, prim = _tri_block_test(
+                        row, j, ox, oy, oz, dx, dy, dz, int_eps)
+                    ok = ok & live
+                    key = jnp.where(ok, jnp.abs(t), _BIG)
+                    upd = key < best_key
+                    best_t = jnp.where(upd, t, best_t)
+                    best_idx = jnp.where(upd, prim.astype(jnp.int32),
+                                         best_idx)
+                    best_key = jnp.minimum(best_key, key)
+                key_ref[:] = best_key
+                t_ref[:] = best_t
+                idx_ref[:] = best_idx
+
+        descend = any_live & ~is_leaf
+        return jnp.where(descend, node + 1, miss)
+
+    jax.lax.while_loop(lambda n: n < n_nodes, body, jnp.int32(0))
+
+
+def _anyhit_kernel(max_leaf_rows, n_nodes,
+                   eps_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                   cap_ref, nodes_ref, tris_ref, found_ref):
+    import jax.experimental.pallas as pl
+
+    int_eps = eps_ref[0]
+    ox, oy, oz, dx, dy, dz, ix, iy, iz, alive = _ray_regs(
+        (ox_ref, oy_ref, oz_ref), (dx_ref, dy_ref, dz_ref))
+    t_cap = cap_ref[:]
+
+    found_ref[:] = jnp.zeros((BLOCK_ROWS, LANES), jnp.int32)
+
+    def body(node):
+        bmin, bmax, first_row, n_rows, miss = _read_node(nodes_ref, node)
+
+        box_hit, entry = _slab(ox, oy, oz, dx, dy, dz, ix, iy, iz, bmin, bmax)
+        live = box_hit & ~(entry > t_cap) & alive & (found_ref[:] == 0)
+        any_live = jnp.any(live)
+        is_leaf = n_rows > 0
+
+        for r in range(max_leaf_rows):
+            @pl.when(any_live & (r < n_rows))
+            def _(r=r):
+                row = tris_ref[pl.ds(first_row + r, 1), :]
+                found = found_ref[:]
+                for j in range(TRIS_PER_ROW):
+                    ok, t, _ = _tri_block_test(
+                        row, j, ox, oy, oz, dx, dy, dz, int_eps)
+                    hit = ok & live & (t > 0) & (t < t_cap)
+                    found = jnp.where(hit, 1, found)
+                found_ref[:] = found
+
+        # early exit the whole block once every live lane has its answer
+        done = ~jnp.any(alive & (found_ref[:] == 0))
+        descend = any_live & ~is_leaf
+        nxt = jnp.where(descend, node + 1, miss)
+        return jnp.where(done, n_nodes, nxt)
+
+    jax.lax.while_loop(lambda n: n < n_nodes, body, jnp.int32(0))
+
+
+# --------------------------------------------------------------------------
+# Host wrappers
+# --------------------------------------------------------------------------
+
+def _pad_block(x, fill):
+    n = x.shape[0]
+    pad = (-n) % BLOCK
+    if pad:
+        x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+    return x.reshape(-1, LANES), n
+
+
+def _specs():
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    block = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem1 = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return block, full, smem1
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_nodes", "max_leaf_rows", "interpret"))
+def _nearest_call(o, d, node_rows, tri_rows, int_eps, n_nodes: int,
+                  max_leaf_rows: int, interpret: bool):
+    import jax.experimental.pallas as pl
+
+    (ox, n), (oy, _), (oz, _) = (_pad_block(c, jnp.nan) for c in o)
+    (dx, _), (dy, _), (dz, _) = (_pad_block(c, jnp.nan) for c in d)
+    n_rows_total = ox.shape[0]
+    n_blocks = n_rows_total // BLOCK_ROWS
+    block, full, smem1 = _specs()
+    eps = jnp.asarray(int_eps, jnp.float32).reshape(1)
+
+    kernel = functools.partial(_nearest_kernel, max_leaf_rows, n_nodes)
+    out_shape = [
+        jax.ShapeDtypeStruct((n_rows_total, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_rows_total, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_rows_total, LANES), jnp.int32),
+    ]
+    key, t, idx = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        out_shape=out_shape,
+        in_specs=[smem1] + [block] * 6 + [full, full],
+        out_specs=[block] * 3,
+        interpret=interpret,
+    )(eps, ox, oy, oz, dx, dy, dz, node_rows, tri_rows)
+    return key.reshape(-1)[:n], t.reshape(-1)[:n], idx.reshape(-1)[:n]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_nodes", "max_leaf_rows", "interpret"))
+def _anyhit_call(o, d, t_cap, node_rows, tri_rows, int_eps, n_nodes: int,
+                 max_leaf_rows: int, interpret: bool):
+    import jax.experimental.pallas as pl
+
+    (ox, n), (oy, _), (oz, _) = (_pad_block(c, jnp.nan) for c in o)
+    (dx, _), (dy, _), (dz, _) = (_pad_block(c, jnp.nan) for c in d)
+    cap, _ = _pad_block(t_cap, 0.0)
+    n_rows_total = ox.shape[0]
+    n_blocks = n_rows_total // BLOCK_ROWS
+    block, full, smem1 = _specs()
+    eps = jnp.asarray(int_eps, jnp.float32).reshape(1)
+
+    kernel = functools.partial(_anyhit_kernel, max_leaf_rows, n_nodes)
+    found = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        out_shape=jax.ShapeDtypeStruct((n_rows_total, LANES), jnp.int32),
+        in_specs=[smem1] + [block] * 7 + [full, full],
+        out_specs=block,
+        interpret=interpret,
+    )(eps, ox, oy, oz, dx, dy, dz, cap, node_rows, tri_rows)
+    return found.reshape(-1)[:n] != 0
+
+
+def max_leaf_rows_of(max_leaf: int) -> int:
+    return -(-max_leaf // TRIS_PER_ROW)
+
+
+def tri_bvh_nearest(pack: BVHPack, local_o, local_d, int_eps,
+                    n_nodes: int, max_leaf: int, interpret: bool = False
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Nearest-hit query: (|t| key, t, permuted prim index), [N] each.
+
+    ``n_nodes`` is the TRUE node count of the flat BVH (node rows pack two
+    nodes each); it bounds the skip-link walk and is the done sentinel.
+    """
+    return _nearest_call(local_o, local_d, pack.node_rows, pack.tri_rows,
+                         int_eps, int(n_nodes), max_leaf_rows_of(max_leaf),
+                         interpret)
+
+
+def tri_bvh_anyhit(pack: BVHPack, local_o, local_d, t_cap, int_eps,
+                   n_nodes: int, max_leaf: int,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Occlusion query: any accepted triangle with t in (0, t_cap)? [N]."""
+    t_cap = jnp.broadcast_to(jnp.asarray(t_cap, jnp.float32),
+                             local_o.x.shape)
+    return _anyhit_call(local_o, local_d, t_cap, pack.node_rows,
+                        pack.tri_rows, int_eps, int(n_nodes),
+                        max_leaf_rows_of(max_leaf), interpret)

@@ -51,9 +51,36 @@ def make_ray_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.asarray(devs), (RAY_AXIS,))
 
 
-def _integrator(scene: T.Scene):
-    return (path_tracer.render_rays if scene.renderer == "pathtracing"
-            else whitted.render_rays)
+def _integrator(scene: T.Scene, differentiable: bool = False,
+                whitted_iters: int | None = None):
+    """Pick the scene's integrator.
+
+    For the Whitted lane machine, forward-only rendering keeps the
+    early-exit ``while_loop``; differentiable callers pass a static trip
+    count — ideally the measured one (see ``resolve_whitted_iters``), since
+    the fallback dielectric bound is 2^(D+1).
+    """
+    if scene.renderer == "pathtracing":
+        return path_tracer.render_rays
+    return functools.partial(whitted.render_rays,
+                             differentiable=differentiable,
+                             max_iters=whitted_iters)
+
+
+def resolve_whitted_iters(scene: T.Scene, rays: intersect.Rays,
+                          bg_radiance, key, margin: int = 2) -> int | None:
+    """Measured Whitted trip count + margin (None for the path tracer).
+
+    One forward render (early-exit while_loop) measures the deepest lane's
+    actual ray-tree size; the differentiable fori_loop then runs
+    ``measured + margin`` iterations instead of the exponential worst case.
+    The margin absorbs tree-shape changes under the infinitesimal parameter
+    perturbations gradients probe (topology is piecewise-constant).
+    """
+    if scene.renderer == "pathtracing":
+        return None
+    measured = whitted.forward_iteration_count(scene, rays, bg_radiance, key)
+    return measured + margin
 
 
 def _replicated_like(tree):
@@ -142,17 +169,20 @@ def scene_with_params(scene: T.Scene, params: Dict[str, Any]) -> T.Scene:
 
 def train_step(scene: T.Scene, rays: intersect.Rays,
                bg_radiance: jnp.ndarray, target: jnp.ndarray,
-               key: jax.Array, mesh: Mesh, lr: float = 1e-2
+               key: jax.Array, mesh: Mesh, lr: float = 1e-2,
+               whitted_iters: int | None = None
                ) -> Tuple[jnp.ndarray, T.Scene]:
     """One data-parallel inverse-rendering step; returns (loss, new scene)."""
     loss, _, new_scene = train_step_with_grads(scene, rays, bg_radiance,
-                                               target, key, mesh, lr)
+                                               target, key, mesh, lr,
+                                               whitted_iters)
     return loss, new_scene
 
 
 def train_step_with_grads(scene: T.Scene, rays: intersect.Rays,
                           bg_radiance: jnp.ndarray, target: jnp.ndarray,
-                          key: jax.Array, mesh: Mesh, lr: float = 1e-2
+                          key: jax.Array, mesh: Mesh, lr: float = 1e-2,
+                          whitted_iters: int | None = None
                           ) -> Tuple[jnp.ndarray, Dict[str, Any], T.Scene]:
     """One data-parallel inverse-rendering step: render → MSE → psum(grad).
 
@@ -166,7 +196,10 @@ def train_step_with_grads(scene: T.Scene, rays: intersect.Rays,
     Returns (global loss, psum'd gradient dict, updated scene).
     """
     params = differentiable_params(scene)
-    integrator = _integrator(scene)
+    if whitted_iters is None:
+        whitted_iters = resolve_whitted_iters(scene, rays, bg_radiance, key)
+    integrator = _integrator(scene, differentiable=True,
+                             whitted_iters=whitted_iters)
     n_total = rays.o.shape[0]
 
     @functools.partial(

@@ -561,22 +561,30 @@ def load_scene(xml_path: str,
     def maybe_bvh(tri, cache_key=None):
         n = len(tri["tri_vidx"])
         if n < max(bvh_min_tris, 2):
-            return tri, None
+            return tri, None, None
         cached = _bvh_cache.get(cache_key) if cache_key is not None else None
         if cached is None:
             from raytracer795_tpu.ops import bvh as bvh_mod
+            from raytracer795_tpu.ops import pallas_bvh
 
             pbmin, pbmax = bvh_mod.tri_bounds(vertices, tri["tri_vidx"])
-            cached = bvh_mod.build(pbmin, pbmax)
+            flat, perm = bvh_mod.build(pbmin, pbmax)
+            # packed kernel tables, iff they fit the VMEM budget (the
+            # instance cache shares them like the base-mesh BVH itself)
+            pack = pallas_bvh.build_pack(flat, vertices,
+                                         tri["tri_vidx"][perm])
+            if pallas_bvh.pack_nbytes(pack) > pallas_bvh.MAX_PACK_BYTES:
+                pack = None
+            cached = (flat, perm, pack)
             if cache_key is not None:
                 _bvh_cache[cache_key] = cached
-        flat, perm = cached
+        flat, perm, pack = cached
         tri = {k: v[perm] for k, v in tri.items()}
-        return tri, flat
+        return tri, flat, pack
 
     def make_group(name, tri, sph, matrix, blur, has_xform, obj_bbox=None,
                    bvh_key=None):
-        tri, flat_bvh = maybe_bvh(tri, bvh_key)
+        tri, flat_bvh, bvh_pack = maybe_bvh(tri, bvh_key)
         minv = np.linalg.inv(matrix) if has_xform else np.eye(4)
         minv_t = np.linalg.inv(matrix).T if has_xform else np.eye(4)
         if obj_bbox is None or len(obj_bbox) == 0:
@@ -591,7 +599,7 @@ def load_scene(xml_path: str,
             blur=np.asarray(blur, np.float32),
             name=name, has_xform=has_xform,
             n_tris=len(tri["tri_vidx"]), n_spheres=len(sph["sph_cidx"]),
-            bvh=flat_bvh,
+            bvh=flat_bvh, bvh_pack=bvh_pack,
         )
 
     # merged static group

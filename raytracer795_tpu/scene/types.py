@@ -181,6 +181,9 @@ class TraceGroup:
     # Built at load time (ops/bvh.py) for large groups; None => linear scan.
     # When present, the tri_* arrays above are in leaf-contiguous order.
     bvh: Any = None         # FlatBVH | None
+    # Packed node/triangle tables for the Pallas traversal kernel
+    # (ops/pallas_bvh.py); built alongside the BVH when the tables fit VMEM.
+    bvh_pack: Any = None    # pallas_bvh.BVHPack | None
 
 
 @_dataclass_pytree(meta=("has_xform",))

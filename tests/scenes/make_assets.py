@@ -31,3 +31,59 @@ img = img.astype(np.float32)
 here = os.path.dirname(os.path.abspath(__file__))
 exr.write_exr(os.path.join(here, "sky.exr"), img, compression="zip")
 print("wrote sky.exr", img.shape, "max", img.max())
+
+
+# ---------------------------------------------------------------------------
+# rock100k.ply — dragon-scale procedural mesh (~101k triangles).
+#
+# The reference's flagship acceleration result is a 1.8M-triangle dragon
+# (pages/Page2.md:57); no large asset ships with either repo, so the
+# BVH-at-scale golden uses this deterministic displaced sphere ("rock"):
+# a (320 x 160) lat-long grid with a multi-frequency sinusoidal radius,
+# written as binary_little_endian PLY (exercising scene/ply.py's binary
+# path at scale). Regenerate with: python tests/scenes/make_assets.py
+# ---------------------------------------------------------------------------
+
+def make_rock_ply(path, nu=320, nv=160):
+    import struct
+
+    uu = np.linspace(0.0, 2 * np.pi, nu, endpoint=False)
+    vv = np.linspace(1e-3, np.pi - 1e-3, nv)
+    U, V = np.meshgrid(uu, vv, indexing="ij")
+    R = (1.0 + 0.14 * np.sin(6 * U) * np.sin(5 * V)
+         + 0.07 * np.sin(13 * U + 1.0) * np.sin(11 * V + 2.0)
+         + 0.035 * np.sin(27 * U + 3.0) * np.sin(23 * V))
+    verts = np.stack([(R * np.sin(V) * np.cos(U)).ravel(),
+                      (R * np.cos(V)).ravel(),
+                      (R * np.sin(V) * np.sin(U)).ravel()],
+                     axis=1).astype("<f4")
+
+    def vid(i, j):
+        return (i % nu) * nv + j
+
+    faces = []
+    for i in range(nu):
+        for j in range(nv - 1):
+            a, b, c, d = vid(i, j), vid(i + 1, j), vid(i + 1, j + 1), \
+                vid(i, j + 1)
+            faces.append((a, b, c))
+            faces.append((a, c, d))
+    faces = np.asarray(faces, "<i4")
+
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(b"element vertex %d\n" % len(verts))
+        f.write(b"property float x\nproperty float y\nproperty float z\n")
+        f.write(b"element face %d\n" % len(faces))
+        f.write(b"property list uchar int vertex_indices\n")
+        f.write(b"end_header\n")
+        f.write(verts.tobytes())
+        body = bytearray()
+        for tri in faces:
+            body += struct.pack("<B3i", 3, *tri)
+        f.write(bytes(body))
+    return len(verts), len(faces)
+
+
+nverts, nfaces = make_rock_ply(os.path.join(here, "rock100k.ply"))
+print("wrote rock100k.ply:", nverts, "verts,", nfaces, "tris")

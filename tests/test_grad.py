@@ -121,8 +121,16 @@ class TestWhittedGrads:
         n = rays.o.shape[0]
         bg = jnp.broadcast_to(scene.background, (n, 3))
         key = jax.random.PRNGKey(0)
+        # measured forward trip count (+2 margin) instead of the 2^(D+1)
+        # dielectric worst case — the whole point of forward_iteration_count.
+        # cornellbox (D=6, dielectric) measures 15: linear in the actual ray
+        # tree, an order of magnitude under the 128-iteration bound.
+        iters = whitted.forward_iteration_count(scene, rays, bg, key) + 2
+        assert iters <= 3 * scene.max_depth + 2, iters
+        assert iters < 2 ** (scene.max_depth + 1) // 4, iters
         return scene, jax.jit(
-            lambda sc: jnp.mean(whitted.render_rays(sc, rays, bg, key)))
+            lambda sc: jnp.mean(whitted.render_rays(sc, rays, bg, key,
+                                                    max_iters=iters)))
 
     def test_diffuse_grad(self, setup):
         scene, mean_render = setup
@@ -155,11 +163,13 @@ class TestWhittedGrads:
         n = rays.o.shape[0]
         bg = jnp.broadcast_to(scene.background, (n, 3))
         key = jax.random.PRNGKey(0)
+        iters = whitted.forward_iteration_count(scene, rays, bg, key) + 2
 
         def loss(diffuse):
             mats = dataclasses.replace(scene.materials, diffuse=diffuse)
             sc = dataclasses.replace(scene, materials=mats)
-            return jnp.mean(whitted.render_rays(sc, rays, bg, key))
+            return jnp.mean(whitted.render_rays(sc, rays, bg, key,
+                                                max_iters=iters))
 
         g = np.asarray(jax.grad(loss)(scene.materials.diffuse))
         assert np.isfinite(g).all()

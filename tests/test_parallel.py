@@ -66,10 +66,13 @@ def test_sharded_grads_match_unsharded(setup):
 
     params = par.differentiable_params(scene)
 
+    iters = par.resolve_whitted_iters(scene, rays, bg, key)
+
     def loss_fn(p):
         sc = par.scene_with_params(scene, p)
         img = whitted.render_rays(sc, rays, bg,
-                                  jax.random.fold_in(key, 0))
+                                  jax.random.fold_in(key, 0),
+                                  max_iters=iters)
         return jnp.sum((img - target) ** 2) / (3.0 * n_total)
 
     ref_grads = jax.jit(jax.grad(loss_fn))(params)

@@ -42,10 +42,15 @@ def _render_variant(tmp_path, name, spp, params=None, depth=None, seed=0):
 class TestFurnace:
     def test_closed_form(self):
         """Diffuse sphere (albedo 0.5) inside constant emission 2 env:
-        surface radiance = albedo * L = 1; background = L = 2."""
-        img = _render("furnace", spp=64)
-        center = img[16, 16]           # on the sphere, facing camera
-        assert np.allclose(center, 0.5 * 2.0, rtol=0.08), center
+        surface radiance = albedo * L = 1; background = L = 2.
+
+        Asserted on the mean of an 8x8 on-sphere pixel block: the per-lane
+        NEE estimator of the enclosing sphere light has std ~1.3, so a
+        single 64-spp pixel carries SE ~0.16 — a block x 256 spp brings the
+        SE to ~0.01 (tolerance is 4 sigma)."""
+        img = _render("furnace", spp=256)
+        block = img[12:20, 12:20].mean(axis=(0, 1))
+        assert np.allclose(block, 0.5 * 2.0, rtol=0.04), block
         corner = img[1, 1]             # direct env hit
         assert np.allclose(corner, 2.0, rtol=0.02), corner
 
