@@ -375,6 +375,15 @@ def _render_machine(scene: T.Scene, rays: intersect.Rays,
         )
 
     if differentiable:
+        # KNOWN XLA:CPU LIMIT (TPU unaffected): differentiating a
+        # normal/bump-mapped scene — where the shading normal feeds the
+        # continuation ray — makes XLA:CPU's LLVM pipeline explode
+        # (>16 GB, >40 min at 2 iterations). The identical gradient
+        # compiles and runs on TPU v5e in ~95 s. lax.scan and
+        # optimization_barrier variants were measured strictly worse on
+        # CPU for every other gradient, so the plain checkpointed
+        # fori_loop stays; CPU tests scope texture-gradient coverage to
+        # kd-decal textures (tests/test_grad.py::TestTextureGrads).
         body_ckpt = jax.checkpoint(body)
         final = jax.lax.fori_loop(0, max_iters, lambda i, s: body_ckpt(s),
                                   state)

@@ -137,11 +137,16 @@ def differentiable_params(scene: T.Scene) -> Dict[str, Any]:
         "mirror": scene.materials.mirror,
         "ambient": scene.materials.ambient,
         "point_intensity": scene.lights.point_intensity,
+        "dir_radiance": scene.lights.dir_radiance,
+        "spot_intensity": scene.lights.spot_intensity,
         "area_radiance": scene.lights.area_radiance,
         "mesh_light_radiance": tuple(ml.radiance for ml in scene.mesh_lights),
         "sphere_light_radiance": tuple(sl.radiance
                                        for sl in scene.sphere_lights),
         "vertices": scene.vertices,
+        # texture images are differentiable through the bilinear gathers
+        # (src/Texture.cpp:111-131 being the reference's sampling contract)
+        "texture_images": tuple(t.image for t in scene.textures),
     }
 
 
@@ -155,7 +160,12 @@ def scene_with_params(scene: T.Scene, params: Dict[str, Any]) -> T.Scene:
         ambient=params["ambient"])
     lights = dataclasses.replace(
         scene.lights, point_intensity=params["point_intensity"],
+        dir_radiance=params["dir_radiance"],
+        spot_intensity=params["spot_intensity"],
         area_radiance=params["area_radiance"])
+    textures = tuple(
+        dataclasses.replace(t, image=im)
+        for t, im in zip(scene.textures, params["texture_images"]))
     mesh_lights = tuple(
         dataclasses.replace(ml, radiance=r)
         for ml, r in zip(scene.mesh_lights, params["mesh_light_radiance"]))
@@ -164,7 +174,8 @@ def scene_with_params(scene: T.Scene, params: Dict[str, Any]) -> T.Scene:
         for sl, r in zip(scene.sphere_lights, params["sphere_light_radiance"]))
     return dataclasses.replace(
         scene, materials=mats, lights=lights, mesh_lights=mesh_lights,
-        sphere_lights=sphere_lights, vertices=params["vertices"])
+        sphere_lights=sphere_lights, vertices=params["vertices"],
+        textures=textures)
 
 
 def train_step(scene: T.Scene, rays: intersect.Rays,

@@ -131,9 +131,63 @@ class _HashableCamera:
         return isinstance(other, _HashableCamera) and self._key == other._key
 
 
+class FilmCheckpoint:
+    """Progressive film checkpoint/resume (SURVEY §5: the reference writes
+    only at the end, src/Scene.cpp:361 — long renders restart from zero).
+
+    The render loop below is deterministic given (scene, camera, seed): band
+    and chunk boundaries are fixed, and every chunk's PRNG key is
+    ``fold_in(key, done)``. Checkpointing therefore stores raw accumulated
+    sums at (band, chunk) boundaries and resuming replays the remaining
+    chunks bit-identically — kill the process anywhere, resume, and the
+    final image equals the uninterrupted render. Also writes a preview
+    image (the partial film normalized by its sample counts) next to the
+    checkpoint on every save.
+    """
+
+    def __init__(self, path: str, every_s: float = 30.0):
+        self.path = path
+        self.every_s = every_s
+        self._last = 0.0
+
+    def _state_key(self, cam: T.Camera, seed: int) -> str:
+        return f"{cam.cam_id}:{cam.nx}x{cam.ny}:{cam.num_samples}:{seed}"
+
+    def load(self, cam: T.Camera, seed: int):
+        if not os.path.exists(self.path):
+            return None
+        data = np.load(self.path, allow_pickle=False)
+        if str(data["state_key"]) != self._state_key(cam, seed):
+            return None     # different render; start over
+        return (data["film_sum"], data["sample_count"], int(data["row0"]))
+
+    def save(self, cam, seed, film_sum, sample_count, row0, force=False):
+        now = _time.monotonic()
+        if not force and now - self._last < self.every_s:
+            return False
+        self._last = now
+        tmp = self.path + ".tmp.npz"
+        with open(tmp, "wb") as f:
+            np.savez(f, state_key=self._state_key(cam, seed),
+                     film_sum=film_sum, sample_count=sample_count,
+                     row0=np.int64(row0))
+        os.replace(tmp, self.path)
+        # preview: partial mean where any samples exist
+        cnt = np.maximum(sample_count, 1)[..., None]
+        image_io.save_image(self.path + ".preview.png", film_sum / cnt)
+        return True
+
+
 def render_camera(loaded: T.LoadedScene, cam_index: int = 0,
-                  seed: int = 0, spp: int | None = None) -> np.ndarray:
-    """Render one camera to a [ny, nx, 3] float32 raw-radiance image."""
+                  seed: int = 0, spp: int | None = None,
+                  checkpoint: FilmCheckpoint | None = None,
+                  _abort_after_saves: int | None = None) -> np.ndarray:
+    """Render one camera to a [ny, nx, 3] float32 raw-radiance image.
+
+    ``checkpoint`` enables periodic film checkpointing + resume (see
+    FilmCheckpoint). ``_abort_after_saves`` is a test hook simulating a
+    mid-render kill: raises KeyboardInterrupt after that many saves.
+    """
     scene = loaded.scene
     cam = loaded.cameras[cam_index]
     if spp is not None and spp != cam.num_samples:
@@ -151,7 +205,7 @@ def render_camera(loaded: T.LoadedScene, cam_index: int = 0,
         else max(1, MAX_LANES // cam.nx)
 
     if cam.num_samples <= 1:
-        if band >= cam.ny:
+        if band >= cam.ny and checkpoint is None:
             return np.asarray(_render_single(scene, fcam, key, 0, cam.ny))
         film = np.empty((cam.ny, cam.nx, 3), np.float32)
         for row0 in range(0, cam.ny, band):
@@ -162,31 +216,71 @@ def render_camera(loaded: T.LoadedScene, cam_index: int = 0,
 
     chunk = max(1, MAX_LANES // (cam.nx * band))
     total = cam.num_samples
-    film = np.zeros((cam.ny, cam.nx, 3), np.float32)
-    for row0 in range(0, cam.ny, band):
+    film_sum = np.zeros((cam.ny, cam.nx, 3), np.float32)
+    counts = np.zeros((cam.ny, cam.nx), np.int64)
+    start_row = 0
+    n_saves = 0
+    if checkpoint is not None:
+        got = checkpoint.load(cam, seed)
+        if got is not None:
+            film_sum, counts, start_row = got
+            film_sum = film_sum.copy()
+            counts = counts.copy()
+
+    for row0 in range(start_row, cam.ny, band):
         rows = min(band, cam.ny - row0)
-        acc = None
-        done = 0
+        sl = slice(row0, row0 + rows)
+        done = int(counts[sl].max())      # chunks completed in this band
         while done < total:
             s = min(chunk, total - done)
             img = _render_sample_range(
                 scene, fcam, jax.random.fold_in(key, done), done, s,
                 row0, rows)
-            acc = img * s if acc is None else acc + img * s
+            film_sum[sl] += np.asarray(img) * s
             done += s
-        film[row0:row0 + rows] = np.asarray(acc / total)
-    return film
+            counts[sl] = done
+            if checkpoint is not None:
+                next_row0 = row0 + band if done >= total else row0
+                if checkpoint.save(cam, seed, film_sum, counts, next_row0):
+                    n_saves += 1
+                    if _abort_after_saves is not None \
+                            and n_saves >= _abort_after_saves:
+                        raise KeyboardInterrupt(
+                            "render aborted by test hook")
+    if checkpoint is not None:
+        checkpoint.save(cam, seed, film_sum, counts, cam.ny, force=True)
+    return film_sum / float(total)
 
 
 def render_scene(loaded: T.LoadedScene, out_dir: str = ".",
-                 seed: int = 0, spp: int | None = None) -> list:
-    """Render every camera and write its image (src/Scene.cpp:330-362)."""
+                 seed: int = 0, spp: int | None = None,
+                 checkpoint_dir: str | None = None,
+                 checkpoint_every_s: float = 30.0) -> list:
+    """Render every camera and write its image (src/Scene.cpp:330-362).
+
+    ``checkpoint_dir`` enables per-camera progressive film checkpoints
+    (resume is automatic: matching checkpoints are picked up and the render
+    continues bit-identically from the last saved chunk).
+    """
     paths = []
     for i, cam in enumerate(loaded.cameras):
+        ckpt = None
+        if checkpoint_dir is not None:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            ckpt = FilmCheckpoint(
+                os.path.join(checkpoint_dir, f"{cam.image_name}.ckpt.npz"),
+                every_s=checkpoint_every_s)
         t0 = _time.time()
-        img = render_camera(loaded, i, seed=seed, spp=spp)
+        img = render_camera(loaded, i, seed=seed, spp=spp, checkpoint=ckpt)
         dt = _time.time() - t0
         path = os.path.join(out_dir, cam.image_name)
+        lower = cam.image_name.lower()
+        if cam.tonemap is not None and (".png" in lower or ".ppm" in lower):
+            from raytracer795_tpu.utils.tonemap import reinhard_global
+
+            key_v, burn, sat, gamma = cam.tonemap
+            img = reinhard_global(img, key=key_v, burn_percent=burn,
+                                  saturation=sat, gamma=gamma)
         image_io.save_image(path, img)
         print(f"[raytracer795_tpu] {cam.image_name}: {cam.nx}x{cam.ny} "
               f"spp={spp or cam.num_samples} in {dt:.3f}s")
@@ -201,10 +295,17 @@ def main(argv=None):
     ap.add_argument("--spp", type=int, default=None,
                     help="override NumSamples for every camera")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="progressive film checkpoints + previews; "
+                         "re-running resumes automatically")
+    ap.add_argument("--checkpoint-every", type=float, default=30.0,
+                    help="seconds between checkpoint saves")
     args = ap.parse_args(argv)
     loaded = load_scene(args.scene)
     os.makedirs(args.out_dir, exist_ok=True)
-    render_scene(loaded, args.out_dir, seed=args.seed, spp=args.spp)
+    render_scene(loaded, args.out_dir, seed=args.seed, spp=args.spp,
+                 checkpoint_dir=args.checkpoint_dir,
+                 checkpoint_every_s=args.checkpoint_every)
 
 
 if __name__ == "__main__":

@@ -207,12 +207,25 @@ def load_scene(xml_path: str,
         while g * g < num_samples:
             g += 1
 
+        # optional global tonemapping (the reference's attempted hw5
+        # feature, pages/Page5.md §5.1.f; course element contract)
+        tonemap = None
+        tm_e = cam.find("Tonemap")
+        if tm_e is not None:
+            opts = _floats(tm_e.find("TMOOptions").text) \
+                if tm_e.find("TMOOptions") is not None else [0.18, 1.0]
+            tonemap = (float(opts[0]), float(opts[1]) if len(opts) > 1
+                       else 1.0,
+                       _child_float(tm_e, "Saturation", 1.0),
+                       _child_float(tm_e, "Gamma", 2.2))
+
         cameras.append(T.Camera(
             cam_id=cam_id, image_name=image_name, pos=pos, gaze=gaze_n,
             up=up_o, right=right, near_distance=near_dist,
             left=l, right_edge=r, bottom=b, top=t, nx=nx, ny=ny,
             num_samples=num_samples, grid=g, focus_distance=focus_distance,
             aperture_size=aperture, is_dof=is_dof, left_handed=left_handed,
+            tonemap=tonemap,
         ))
 
     # ---- BRDFs (src/Parser.h:166-302) ----

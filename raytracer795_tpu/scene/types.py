@@ -242,6 +242,9 @@ class Camera:
     aperture_size: float
     is_dof: bool
     left_handed: bool
+    # optional global TMO (key, burn_percent, saturation, gamma) applied to
+    # LDR outputs — the reference's attempted hw5 feature (Page5.md §5.1.f)
+    tonemap: tuple = None
 
 
 @_dataclass_pytree(meta=(

@@ -175,3 +175,85 @@ class TestWhittedGrads:
         assert np.isfinite(g).all()
         # at least one material visible => nonzero row
         assert np.abs(g).sum(axis=1).max() > 0
+
+
+class TestTextureGrads:
+    """Per-texel gradients through the bilinear sampling gathers — the
+    north-star 'image loss backprops to texture parameters' axis. The
+    reference's sampling contract (src/Texture.cpp:111-131) is a bilinear
+    blend, linear in the texel values, so central FD matches analytically."""
+
+    def test_per_texel_fd(self):
+        from raytracer795_tpu.models import whitted
+
+        loaded = load("textures")
+        scene = loaded.scene
+        rays = _ray_batch(loaded, nx=32, ny=32)
+        n = rays.o.shape[0]
+        bg = jnp.broadcast_to(scene.background, (n, 3))
+        key = jax.random.PRNGKey(0)
+        iters = whitted.forward_iteration_count(scene, rays, bg, key) + 2
+        im0 = jnp.asarray(scene.textures[0].image)  # checker/bilinear/kd
+
+        def loss_img(im):
+            import dataclasses as dc
+            texs = list(scene.textures)
+            texs[0] = dc.replace(texs[0], image=im)
+            sc = dc.replace(scene, textures=tuple(texs))
+            return jnp.mean(whitted.render_rays(sc, rays, bg, key,
+                                                max_iters=iters))
+
+        loss_jit = jax.jit(loss_img)
+        g = np.asarray(jax.jit(jax.grad(loss_img))(im0))
+        assert np.isfinite(g).all()
+        assert np.abs(g).max() > 0, "texture gradient is identically zero"
+
+        # central FD at the three strongest texels (texels are 0..255)
+        flat = np.abs(g).ravel()
+        for k in np.argsort(flat)[-3:]:
+            y, x, c = np.unravel_index(k, g.shape)
+            eps = 2.0
+            lp = float(loss_jit(im0.at[y, x, c].add(eps)))
+            lm = float(loss_jit(im0.at[y, x, c].add(-eps)))
+            fd = (lp - lm) / (2 * eps)
+            assert abs(g[y, x, c] - fd) <= 0.02 * max(abs(fd), 1e-12), \
+                (int(y), int(x), int(c), g[y, x, c], fd)
+
+    def test_texture_images_in_train_params(self):
+        """differentiable_params exposes texture images and the train step
+        produces finite, non-zero psum'd gradients for them.
+
+        Normal/bump decals are disabled FOR THIS CPU TEST ONLY: their image
+        gradient flows through the shading normal into the continuation-ray
+        chain, and XLA:CPU's LLVM pipeline pathologically explodes compiling
+        that backward graph (>16 GB, >40 min at 2 whitted iterations). The
+        SAME gradient compiles and runs on TPU in ~95 s (verified on v5e,
+        |g|sum identical to the CPU iters=1 value) — a CPU-backend compiler
+        pathology, not a framework limitation."""
+        import dataclasses as dc
+
+        from raytracer795_tpu.parallel import shard as par
+        from raytracer795_tpu.scene import types as T
+
+        loaded = load("textures")
+        scene = loaded.scene
+        statics = tuple(
+            (T.DECAL_NONE, i, t, nc)
+            if d in (T.DECAL_REPLACE_NORMAL, T.DECAL_BUMP_NORMAL)
+            else (d, i, t, nc)
+            for (d, i, t, nc) in scene.texture_statics)
+        scene = dc.replace(scene, texture_statics=statics)
+        rays = _ray_batch(loaded, nx=16, ny=16)
+        n = rays.o.shape[0]
+        bg = jnp.broadcast_to(scene.background, (n, 3)).astype(jnp.float32)
+        target = jnp.full((n, 3), 0.3, jnp.float32)
+        mesh = par.make_ray_mesh(8)
+        _, grads, _ = par.train_step_with_grads(
+            scene, rays, bg, target, jax.random.PRNGKey(1), mesh)
+        imgs = grads["texture_images"]
+        assert len(imgs) == len(scene.textures)
+        total = 0.0
+        for gim in imgs:
+            assert bool(jnp.all(jnp.isfinite(gim)))
+            total += float(jnp.abs(gim).sum())
+        assert total > 0
