@@ -29,7 +29,33 @@ from raytracer795_tpu.utils import image_io
 from raytracer795_tpu.utils.vec3 import Vec3
 
 # Max lanes per device launch; the sample dimension is chunked under it.
-MAX_LANES = 1 << 18
+# Every launch carries a fixed ~25 ms dispatch cost on TPU, so the budget is
+# sized to keep big frames to a handful of launches (HBM comfortably holds
+# the wavefront state at 2^20 lanes); CPU (tests) stays small. Override with
+# RT795_MAX_LANES.
+def _default_max_lanes() -> int:
+    env = int(os.environ.get("RT795_MAX_LANES", "0"))
+    if env:
+        return env
+    return 1 << 20 if jax.default_backend() == "tpu" else 1 << 18
+
+
+MAX_LANES = _default_max_lanes()
+
+# Minimum bands per frame on TPU: device->host film transfers ride a slow
+# link on this setup (~10-25 MB/s measured), so each band's film is copied
+# back asynchronously (copy_to_host_async) while later bands compute; >= 4
+# bands hides all but the last slice. CPU transfers are free — keep 1 band.
+PIPELINE_BANDS = int(os.environ.get("RT795_PIPE_BANDS", "0")) or (
+    6 if jax.default_backend() == "tpu" else 1)
+
+
+def _host_async(arr):
+    """Start an async device->host copy (no-op if unsupported)."""
+    try:
+        arr.copy_to_host_async()
+    except Exception:
+        pass
 
 
 def _integrator(scene: T.Scene):
@@ -161,6 +187,13 @@ class FilmCheckpoint:
             return None     # different render; start over
         return (data["film_sum"], data["sample_count"], int(data["row0"]))
 
+    def due(self) -> bool:
+        """True when the save interval has elapsed (a save would not be
+        rejected by the time gate). The render loop checks this BEFORE
+        pulling the device accumulator to host, so chunks between saves run
+        with zero host synchronization."""
+        return _time.monotonic() - self._last >= self.every_s
+
     def save(self, cam, seed, film_sum, sample_count, row0, force=False):
         now = _time.monotonic()
         if not force and now - self._last < self.every_s:
@@ -200,18 +233,25 @@ def render_camera(loaded: T.LoadedScene, cam_index: int = 0,
 
     # Row-band tiling keeps every launch under the lane budget even when a
     # single 1-spp frame exceeds it (e.g. 1600x1600); the sample dimension
-    # chunks within each band.
+    # chunks within each band. On TPU the frame splits into >= PIPELINE_BANDS
+    # bands purely so each band's film transfer overlaps later-band compute.
     band = cam.ny if cam.nx * cam.ny <= MAX_LANES \
         else max(1, MAX_LANES // cam.nx)
+    if PIPELINE_BANDS > 1 and cam.nx * cam.ny > (1 << 17):
+        band = min(band, max(1, -(-cam.ny // PIPELINE_BANDS)))
 
     if cam.num_samples <= 1:
         if band >= cam.ny and checkpoint is None:
             return np.asarray(_render_single(scene, fcam, key, 0, cam.ny))
-        film = np.empty((cam.ny, cam.nx, 3), np.float32)
+        outs = []
         for row0 in range(0, cam.ny, band):
             rows = min(band, cam.ny - row0)
-            film[row0:row0 + rows] = np.asarray(
-                _render_single(scene, fcam, key, row0, rows))
+            img = _render_single(scene, fcam, key, row0, rows)
+            _host_async(img)
+            outs.append((row0, rows, img))
+        film = np.empty((cam.ny, cam.nx, 3), np.float32)
+        for row0, rows, img in outs:
+            film[row0:row0 + rows] = np.asarray(img)
         return film
 
     chunk = max(1, MAX_LANES // (cam.nx * band))
@@ -227,19 +267,30 @@ def render_camera(loaded: T.LoadedScene, cam_index: int = 0,
             film_sum = film_sum.copy()
             counts = counts.copy()
 
+    pending = []        # (slice, device accumulator), materialized at end
     for row0 in range(start_row, cam.ny, band):
         rows = min(band, cam.ny - row0)
         sl = slice(row0, row0 + rows)
         done = int(counts[sl].max())      # chunks completed in this band
+        # Accumulate ON DEVICE: a host `film_sum[sl] += np.asarray(img)`
+        # here blocks on every chunk (measured 2.4x frame-time on v5e);
+        # the accumulator crosses to host only at checkpoint saves and at
+        # the end (band transfers pipelined with later-band compute).
+        # f32 add order is unchanged, so checkpointed and uninterrupted
+        # renders stay bit-equal.
+        acc = jnp.asarray(film_sum[sl]) if done > 0 \
+            else jnp.zeros((rows, cam.nx, 3), jnp.float32)
         while done < total:
             s = min(chunk, total - done)
             img = _render_sample_range(
                 scene, fcam, jax.random.fold_in(key, done), done, s,
                 row0, rows)
-            film_sum[sl] += np.asarray(img) * s
+            acc = acc + img * jnp.float32(s)
             done += s
-            counts[sl] = done
-            if checkpoint is not None:
+            if checkpoint is not None and (checkpoint.due()
+                                           or done >= total):
+                film_sum[sl] = np.asarray(acc)
+                counts[sl] = done
                 next_row0 = row0 + band if done >= total else row0
                 if checkpoint.save(cam, seed, film_sum, counts, next_row0):
                     n_saves += 1
@@ -247,6 +298,14 @@ def render_camera(loaded: T.LoadedScene, cam_index: int = 0,
                             and n_saves >= _abort_after_saves:
                         raise KeyboardInterrupt(
                             "render aborted by test hook")
+        counts[sl] = done
+        if checkpoint is None:
+            _host_async(acc)
+            pending.append((sl, acc))
+        else:
+            film_sum[sl] = np.asarray(acc)
+    for sl, acc in pending:
+        film_sum[sl] = np.asarray(acc)
     if checkpoint is not None:
         checkpoint.save(cam, seed, film_sum, counts, cam.ny, force=True)
     return film_sum / float(total)
