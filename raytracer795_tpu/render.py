@@ -104,35 +104,52 @@ def _background_radiance(scene: T.Scene, rays: intersect.Rays,
                 jnp.broadcast_to(bg[2], (n,)))
 
 
+def _band_px_py(cam, row0, n_rows: int):
+    """Tile-swizzled per-lane pixel coords for a band (camera.band_pixels).
+
+    ``px``/``py_rel`` are static numpy constants of the (nx, n_rows) band
+    shape; the traced ``row0`` shifts into frame coordinates. The swizzle
+    keeps each 4096-lane traversal block a compact 64x64 pixel tile instead
+    of an nx-wide strip (2.3x on the packet kernel, rock100k primaries).
+    """
+    px, py_rel = camera_model.band_pixels(cam.nx, n_rows)
+    return jnp.asarray(px), row0 + jnp.asarray(py_rel)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 4))
 def _render_single(scene: T.Scene, cam, key, row0, n_rows: int):
-    """1-spp row band: center-of-pixel rays (src/Scene.cpp:365-384).
+    """1-spp band: center-of-pixel rays (src/Scene.cpp:365-384), lanes in
+    tile-swizzled order — output is [n_rows*nx, 3] in LANE order; the host
+    unswizzles (band_unswizzle_index) after the transfer.
 
     ``row0`` is traced, ``n_rows`` static: frames over the lane budget tile
     into horizontal bands sharing one compilation.
     """
-    rays = camera_model.primary_rays(cam, row0, n_rows)
-    bg = _background_radiance(
-        scene, rays, _pixel_uv(cam.nx, cam.ny, 1, row0, n_rows), True)
-    out = _integrator(scene)(scene, rays, bg, key)
-    return out.reshape(n_rows, cam.nx, 3)
+    px, py = _band_px_py(cam, row0, n_rows)
+    rays = camera_model.primary_rays_at(cam, px, py)
+    uv = (px.astype(jnp.float32) / cam.nx, py.astype(jnp.float32) / cam.ny)
+    bg = _background_radiance(scene, rays, uv, True)
+    return _integrator(scene)(scene, rays, bg, key)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 4, 6))
 def _render_sample_range(scene: T.Scene, cam, key, base, count: int,
                          row0, n_rows: int):
-    """Mean over jittered samples [base, base+count) for a pixel row band.
+    """Mean over jittered samples [base, base+count) for a pixel band.
 
+    Output is [n_rows*nx, 3] in tile-swizzled LANE order (host unswizzles).
     ``base`` and ``row0`` are traced so all chunks/bands of a frame share
     one compilation.
     """
     if n_rows < cam.ny:     # decorrelate bands (full frames keep old stream)
         key = jax.random.fold_in(key, row0)
-    rays = camera_model.sample_rays_range(cam, key, base, count, row0, n_rows)
-    bg = _background_radiance(
-        scene, rays, _pixel_uv(cam.nx, cam.ny, count, row0, n_rows), False)
+    px, py = _band_px_py(cam, row0, n_rows)
+    rays = camera_model.sample_rays_at(cam, key, px, py, base, count)
+    uv = (jnp.repeat(px.astype(jnp.float32) / cam.nx, count),
+          jnp.repeat(py.astype(jnp.float32) / cam.ny, count))
+    bg = _background_radiance(scene, rays, uv, False)
     out = _integrator(scene)(scene, rays, bg, key)
-    return out.reshape(n_rows, cam.nx, count, 3).mean(axis=2)
+    return out.reshape(-1, count, 3).mean(axis=1)
 
 
 class _HashableCamera:
@@ -235,14 +252,25 @@ def render_camera(loaded: T.LoadedScene, cam_index: int = 0,
     # single 1-spp frame exceeds it (e.g. 1600x1600); the sample dimension
     # chunks within each band. On TPU the frame splits into >= PIPELINE_BANDS
     # bands purely so each band's film transfer overlaps later-band compute.
+    # Bands round to tile-height multiples so the lane swizzle tiles stay
+    # square (camera.band_pixels).
     band = cam.ny if cam.nx * cam.ny <= MAX_LANES \
         else max(1, MAX_LANES // cam.nx)
     if PIPELINE_BANDS > 1 and cam.nx * cam.ny > (1 << 17):
         band = min(band, max(1, -(-cam.ny // PIPELINE_BANDS)))
+    if band < cam.ny and band > camera_model.TILE_H:
+        band -= band % camera_model.TILE_H
+
+    def unswz(rows, out):
+        """Lane-ordered [rows*nx, 3] device output -> [rows, nx, 3] film."""
+        flat = np.empty((rows * cam.nx, 3), np.float32)
+        flat[camera_model.band_unswizzle_index(cam.nx, rows)] = \
+            np.asarray(out)
+        return flat.reshape(rows, cam.nx, 3)
 
     if cam.num_samples <= 1:
         if band >= cam.ny and checkpoint is None:
-            return np.asarray(_render_single(scene, fcam, key, 0, cam.ny))
+            return unswz(cam.ny, _render_single(scene, fcam, key, 0, cam.ny))
         outs = []
         for row0 in range(0, cam.ny, band):
             rows = min(band, cam.ny - row0)
@@ -251,7 +279,7 @@ def render_camera(loaded: T.LoadedScene, cam_index: int = 0,
             outs.append((row0, rows, img))
         film = np.empty((cam.ny, cam.nx, 3), np.float32)
         for row0, rows, img in outs:
-            film[row0:row0 + rows] = np.asarray(img)
+            film[row0:row0 + rows] = unswz(rows, img)
         return film
 
     chunk = max(1, MAX_LANES // (cam.nx * band))
@@ -272,14 +300,15 @@ def render_camera(loaded: T.LoadedScene, cam_index: int = 0,
         rows = min(band, cam.ny - row0)
         sl = slice(row0, row0 + rows)
         done = int(counts[sl].max())      # chunks completed in this band
-        # Accumulate ON DEVICE: a host `film_sum[sl] += np.asarray(img)`
-        # here blocks on every chunk (measured 2.4x frame-time on v5e);
-        # the accumulator crosses to host only at checkpoint saves and at
-        # the end (band transfers pipelined with later-band compute).
-        # f32 add order is unchanged, so checkpointed and uninterrupted
-        # renders stay bit-equal.
-        acc = jnp.asarray(film_sum[sl]) if done > 0 \
-            else jnp.zeros((rows, cam.nx, 3), jnp.float32)
+        # Accumulate ON DEVICE in lane (tile-swizzled) order: a host
+        # `film_sum[sl] += np.asarray(img)` here blocks on every chunk
+        # (measured 2.4x frame-time on v5e); the accumulator crosses to
+        # host only at checkpoint saves and at the end (band transfers
+        # pipelined with later-band compute). f32 add order is unchanged,
+        # so checkpointed and uninterrupted renders stay bit-equal.
+        swz = camera_model.band_unswizzle_index(cam.nx, rows)
+        acc = jnp.asarray(film_sum[sl].reshape(-1, 3)[swz]) if done > 0 \
+            else jnp.zeros((rows * cam.nx, 3), jnp.float32)
         while done < total:
             s = min(chunk, total - done)
             img = _render_sample_range(
@@ -289,7 +318,7 @@ def render_camera(loaded: T.LoadedScene, cam_index: int = 0,
             done += s
             if checkpoint is not None and (checkpoint.due()
                                            or done >= total):
-                film_sum[sl] = np.asarray(acc)
+                film_sum[sl] = unswz(rows, acc)
                 counts[sl] = done
                 next_row0 = row0 + band if done >= total else row0
                 if checkpoint.save(cam, seed, film_sum, counts, next_row0):
@@ -301,11 +330,11 @@ def render_camera(loaded: T.LoadedScene, cam_index: int = 0,
         counts[sl] = done
         if checkpoint is None:
             _host_async(acc)
-            pending.append((sl, acc))
+            pending.append((sl, rows, acc))
         else:
-            film_sum[sl] = np.asarray(acc)
-    for sl, acc in pending:
-        film_sum[sl] = np.asarray(acc)
+            film_sum[sl] = unswz(rows, acc)
+    for sl, rows, acc in pending:
+        film_sum[sl] = unswz(rows, acc)
     if checkpoint is not None:
         checkpoint.save(cam, seed, film_sum, counts, cam.ny, force=True)
     return film_sum / float(total)
