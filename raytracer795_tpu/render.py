@@ -28,26 +28,14 @@ from raytracer795_tpu.scene.loader import load_scene
 from raytracer795_tpu.utils import image_io
 from raytracer795_tpu.utils.vec3 import Vec3
 
-# Max lanes per device launch; the sample dimension is chunked under it.
-# Every launch carries a fixed ~25 ms dispatch cost on TPU, so the budget is
-# sized to keep big frames to a handful of launches (HBM comfortably holds
-# the wavefront state at 2^20 lanes); CPU (tests) stays small. Override with
-# RT795_MAX_LANES.
-def _default_max_lanes() -> int:
-    env = int(os.environ.get("RT795_MAX_LANES", "0"))
-    if env:
-        return env
-    return 1 << 20 if jax.default_backend() == "tpu" else 1 << 18
-
-
-MAX_LANES = _default_max_lanes()
-
-# Minimum bands per frame on TPU: device->host film transfers ride a slow
-# link on this setup (~10-25 MB/s measured), so each band's film is copied
-# back asynchronously (copy_to_host_async) while later bands compute; >= 4
-# bands hides all but the last slice. CPU transfers are free — keep 1 band.
-PIPELINE_BANDS = int(os.environ.get("RT795_PIPE_BANDS", "0")) or (
-    6 if jax.default_backend() == "tpu" else 1)
+# Max lanes per device launch; frames tile into row bands (each band's spp
+# fully chunked into one launch when it fits) under this budget. ~2^18 lanes
+# per launch measured fastest on v5e for both the path-trace and big-mesh
+# benches (larger launches lose to VMEM/cache pressure, smaller to dispatch
+# overhead), and many small bands let each band's film transfer
+# (copy_to_host_async) overlap later-band compute on the slow tunnel link.
+# Override with RT795_MAX_LANES.
+MAX_LANES = int(os.environ.get("RT795_MAX_LANES", "0")) or (1 << 18)
 
 
 def _host_async(arr):
@@ -249,15 +237,13 @@ def render_camera(loaded: T.LoadedScene, cam_index: int = 0,
     fcam = _HashableCamera(cam)
 
     # Row-band tiling keeps every launch under the lane budget even when a
-    # single 1-spp frame exceeds it (e.g. 1600x1600); the sample dimension
-    # chunks within each band. On TPU the frame splits into >= PIPELINE_BANDS
-    # bands purely so each band's film transfer overlaps later-band compute.
+    # single 1-spp frame exceeds it (e.g. 1600x1600); the band height is
+    # chosen so one launch covers a band's FULL sample set when that fits
+    # (high-spp frames chunk the sample dimension within a 1-row band).
     # Bands round to tile-height multiples so the lane swizzle tiles stay
     # square (camera.band_pixels).
-    band = cam.ny if cam.nx * cam.ny <= MAX_LANES \
-        else max(1, MAX_LANES // cam.nx)
-    if PIPELINE_BANDS > 1 and cam.nx * cam.ny > (1 << 17):
-        band = min(band, max(1, -(-cam.ny // PIPELINE_BANDS)))
+    total = max(1, cam.num_samples)
+    band = min(cam.ny, max(1, MAX_LANES // (cam.nx * total)))
     if band < cam.ny and band > camera_model.TILE_H:
         band -= band % camera_model.TILE_H
 
