@@ -9,6 +9,8 @@ vectors are lane-major Vec3 (utils/vec3.py).
 
 from __future__ import annotations
 
+from typing import Any, NamedTuple
+
 import jax.numpy as jnp
 
 from raytracer795_tpu.scene import types as T
@@ -46,12 +48,34 @@ def _mat3_rows(tbl, idx) -> Vec3:
     return Vec3(rec[:, 0], rec[:, 1], rec[:, 2])
 
 
+class BrdfRec(NamedTuple):
+    """Per-lane gathered material rows for BRDF evaluation — gather ONCE
+    per shading pass, evaluate per light (lights.py hoists this)."""
+
+    kd: Vec3
+    ks: Vec3
+    p: Any          # [N] phong exponent
+    btype: Any      # [N] int32 BRDF_*
+    refr: Any       # [N] refraction index (TSF Fresnel)
+    absidx: Any     # [N] absorption index
+
+
+def gather_brdf_rec(mats, mat_idx) -> BrdfRec:
+    return BrdfRec(kd=_mat3_rows(mats.diffuse, mat_idx),
+                   ks=_mat3_rows(mats.specular, mat_idx),
+                   p=mats.phong[mat_idx], btype=mats.brdf[mat_idx],
+                   refr=mats.refraction[mat_idx],
+                   absidx=mats.absorption_index[mat_idx])
+
+
 def term_brdf(wi: Vec3, wo: Vec3, normal: Vec3, mats, mat_idx) -> Vec3:
-    """f(wi, wo) per lane (Vec3) given per-lane material rows."""
-    kd = _mat3_rows(mats.diffuse, mat_idx)
-    ks = _mat3_rows(mats.specular, mat_idx)
-    p = mats.phong[mat_idx]             # [N]
-    btype = mats.brdf[mat_idx]          # [N]
+    """f(wi, wo) per lane (Vec3); gathers rows itself (see term_brdf_rec)."""
+    return term_brdf_rec(wi, wo, normal, gather_brdf_rec(mats, mat_idx))
+
+
+def term_brdf_rec(wi: Vec3, wo: Vec3, normal: Vec3, rec: BrdfRec) -> Vec3:
+    """f(wi, wo) per lane (Vec3) given pre-gathered material rows."""
+    kd, ks, p, btype = rec.kd, rec.ks, rec.p, rec.btype
 
     n_wi = vdot(normal, wi)
     wr = vsafe_normalize(-wi + normal * (2.0 * n_wi))
@@ -89,8 +113,7 @@ def term_brdf(wi: Vec3, wo: Vec3, normal: Vec3, mats, mat_idx) -> Vec3:
     g_ts = jnp.minimum(1.0, jnp.minimum(g_left, g_right))  # GeometryTS
     spec_ts = ks * safe_div(g_ts * d_ts, 4.0 * cos_phi * cos_theta)
     f_ts = kd / pi + spec_ts
-    fr = _conductor_fresnel(mats.refraction[mat_idx],
-                            mats.absorption_index[mat_idx], -wo, normal)
+    fr = _conductor_fresnel(rec.refr, rec.absidx, -wo, normal)
     f_tsf = (kd / pi) * (1.0 - fr) + spec_ts * fr
 
     out = f_mbp  # default arbitrary; every lane with a BRDF gets overwritten

@@ -9,12 +9,13 @@ lane-major Vec3 (utils/vec3.py).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from raytracer795_tpu.models.brdf import _mat3_rows, brdf_radiance
+from raytracer795_tpu.models.brdf import (_mat3_rows, gather_brdf_rec,
+                                           term_brdf_rec)
 from raytracer795_tpu.ops import intersect
 from raytracer795_tpu.ops.texture import sample_image
 from raytracer795_tpu.scene import types as T
@@ -39,37 +40,46 @@ class ShadePoint(NamedTuple):
     valid: jnp.ndarray      # [N] bool
 
 
-def _effective_kd(sp: ShadePoint, mats: T.Materials) -> Vec3:
-    """Diffuse coefficient after decal modes (src/Light.cpp:206-223)."""
+class _ShadeRec(NamedTuple):
+    """Per-lane material rows gathered ONCE per direct_lighting call and
+    reused by every light (the per-light gathers were the single largest
+    non-kernel cost of a multi-light frame)."""
+
+    kd_eff: Vec3        # diffuse after decal modes (src/Light.cpp:206-223)
+    ks: Vec3
+    p: jnp.ndarray
+    brdf: Any           # BrdfRec | None when the scene has no BRDF materials
+
+
+def _shade_rec(scene: T.Scene, sp: ShadePoint) -> _ShadeRec:
+    mats = scene.materials
     kd = _mat3_rows(mats.diffuse, sp.mat)
     tex = sp.tex_color * (1.0 / sp.tex_norm)
-    kd = vwhere(sp.dm == T.DECAL_REPLACE_KD, tex, kd)
-    kd = vwhere(sp.dm == T.DECAL_BLEND_KD,
-                (_mat3_rows(mats.diffuse, sp.mat) + tex) * 0.5, kd)
-    return kd
+    kd_eff = vwhere(sp.dm == T.DECAL_REPLACE_KD, tex, kd)
+    kd_eff = vwhere(sp.dm == T.DECAL_BLEND_KD, (kd + tex) * 0.5, kd_eff)
+    brdf = gather_brdf_rec(mats, sp.mat) if scene.any_brdf else None
+    return _ShadeRec(kd_eff=kd_eff, ks=_mat3_rows(mats.specular, sp.mat),
+                     p=mats.phong[sp.mat], brdf=brdf)
 
 
-def _diffuse_specular(sp: ShadePoint, mats: T.Materials, wi: Vec3,
-                      contribution: Vec3) -> Vec3:
-    """Blinn-Phong diffuse + specular for non-BRDF materials."""
-    kd = _effective_kd(sp, mats)
+def _lit_color(sp: ShadePoint, rec: _ShadeRec, wi: Vec3,
+               contribution: Vec3) -> Vec3:
+    """BRDF vs Blinn-Phong diffuse+specular per lane (src/Light.cpp:243-249).
+
+    The 8-model BRDF blend is skipped entirely (statically) when no
+    material references a BRDF — its selection mask would be all-False.
+    """
     cos_i = jnp.maximum(0.0, vdot(sp.normal, wi))
-    diffuse = contribution * kd * cos_i
+    diffuse = contribution * rec.kd_eff * cos_i
     h = vsafe_normalize(sp.wo + wi)     # wi == -wo on dead lanes
     cos_h = jnp.maximum(0.0, vdot(sp.normal, h))
-    ks = _mat3_rows(mats.specular, sp.mat)
-    p = mats.phong[sp.mat]
-    specular = contribution * ks * safe_pow(cos_h, p)
-    return diffuse + specular
-
-
-def _lit_color(sp: ShadePoint, mats: T.Materials, wi: Vec3,
-               contribution: Vec3) -> Vec3:
-    """Select BRDF vs diffuse+specular per lane (src/Light.cpp:243-249)."""
-    has_brdf = mats.brdf[sp.mat] != T.BRDF_NONE
-    via_brdf = brdf_radiance(wi, sp.wo, sp.normal, contribution, mats, sp.mat)
-    via_ds = _diffuse_specular(sp, mats, wi, contribution)
-    return vwhere(has_brdf, via_brdf, via_ds)
+    specular = contribution * rec.ks * safe_pow(cos_h, rec.p)
+    via_ds = diffuse + specular
+    if rec.brdf is None:
+        return via_ds
+    f = term_brdf_rec(wi, sp.wo, sp.normal, rec.brdf)
+    via_brdf = contribution * f * cos_i     # L*f*cos (src/Light.cpp:157-162)
+    return vwhere(rec.brdf.btype != T.BRDF_NONE, via_brdf, via_ds)
 
 
 def _occluded(scene: T.Scene, sp: ShadePoint, direction: Vec3, d_light=None):
@@ -104,6 +114,7 @@ def direct_lighting(scene: T.Scene, sp: ShadePoint, key: jax.Array) -> Vec3:
     mamb = _mat3_rows(mats.ambient, sp.mat)
     out = Vec3(amb[0] * mamb.x, amb[1] * mamb.y, amb[2] * mamb.z)
     # (src/Scene.cpp:22-30)
+    rec = _shade_rec(scene, sp)
 
     lights = scene.lights
     N = sp.time.shape[0]
@@ -120,7 +131,7 @@ def direct_lighting(scene: T.Scene, sp: ShadePoint, key: jax.Array) -> Vec3:
         inv_d2 = 1.0 / (d_light * d_light)
         contribution = Vec3(inten[0] * inv_d2, inten[1] * inv_d2,
                             inten[2] * inv_d2)
-        lit = _lit_color(sp, mats, wi, contribution)
+        lit = _lit_color(sp, rec, wi, contribution)
         out = out + vwhere(sp.valid & ~shadowed, lit, 0.0)
 
     # ---- directional lights (src/Light.cpp:256-321) ----
@@ -131,7 +142,7 @@ def direct_lighting(scene: T.Scene, sp: ShadePoint, key: jax.Array) -> Vec3:
         occ = _occluded(scene, sp, wi, None)
         rad = lights.dir_radiance[i]
         contribution = Vec3(rad[0] * ones, rad[1] * ones, rad[2] * ones)
-        lit = _lit_color(sp, mats, wi, contribution)
+        lit = _lit_color(sp, rec, wi, contribution)
         out = out + vwhere(sp.valid & ~occ, lit, 0.0)
 
     # ---- spot lights (src/Light.cpp:327-436) ----
@@ -146,7 +157,7 @@ def direct_lighting(scene: T.Scene, sp: ShadePoint, key: jax.Array) -> Vec3:
         inv_d2 = 1.0 / (d_light * d_light)
         contribution = Vec3(inten[0] * inv_d2, inten[1] * inv_d2,
                             inten[2] * inv_d2)
-        lit = _lit_color(sp, mats, wi, contribution)
+        lit = _lit_color(sp, rec, wi, contribution)
         # falloff (src/Light.cpp:338-348, 409-436); double-where: dead lanes
         # clip to +/-1 where arccos' derivative is infinite
         sd = lights.spot_dir[i]
@@ -181,7 +192,7 @@ def direct_lighting(scene: T.Scene, sp: ShadePoint, key: jax.Array) -> Vec3:
         factor = (size * size) * cos_l / (d_light * d_light)
         rad = lights.area_radiance[i]
         contribution = Vec3(rad[0] * factor, rad[1] * factor, rad[2] * factor)
-        lit = _lit_color(sp, mats, wi, contribution)
+        lit = _lit_color(sp, rec, wi, contribution)
         out = out + vwhere(sp.valid & ~shadowed, lit, 0.0)
 
     # ---- environment light (src/Light.cpp:551-660) ----
@@ -201,7 +212,7 @@ def direct_lighting(scene: T.Scene, sp: ShadePoint, key: jax.Array) -> Vec3:
                         + w * (r * jnp.sin(phi)))
         occ = _occluded(scene, sp, wi, None)
         radiance = env_radiance(scene, wi) * (2.0 * jnp.pi)
-        lit = _lit_color(sp, mats, wi, radiance)
+        lit = _lit_color(sp, rec, wi, radiance)
         out = out + vwhere(sp.valid & ~occ, lit, 0.0)
 
     return out

@@ -238,18 +238,27 @@ def _render_machine(scene: T.Scene, rays: intersect.Rays,
     def cond(s: _State):
         return (s.it < max_iters) & jnp.any(s.active | (s.sp > 0))
 
+    # Without dielectrics no lane ever splits: the deferred-ray stack and
+    # Beer machinery are statically dead (masks all-False) and skipped.
+    has_diel = scene.any_dielectric
+
     def body(s: _State) -> _State:
         # ---- pop deferred rays into idle lanes ----
-        popping = (~s.active) & (s.sp > 0)
-        spi = jnp.maximum(s.sp - 1, 0)
+        if has_diel:
+            popping = (~s.active) & (s.sp > 0)
+            spi = jnp.maximum(s.sp - 1, 0)
 
-        o = vwhere(popping, _pick_row3(s.st_o, spi, D), s.o)
-        d = vwhere(popping, _pick_row3(s.st_d, spi, D), s.d)
-        tput = vwhere(popping, _pick_row3(s.st_tput, spi, D), s.tput)
-        depth = jnp.where(popping, _pick_row(s.st_depth, spi, D), s.depth)
-        sigma = vwhere(popping, _pick_row3(s.st_sigma, spi, D), s.sigma)
-        sp = jnp.where(popping, spi, s.sp)
-        active = s.active | popping
+            o = vwhere(popping, _pick_row3(s.st_o, spi, D), s.o)
+            d = vwhere(popping, _pick_row3(s.st_d, spi, D), s.d)
+            tput = vwhere(popping, _pick_row3(s.st_tput, spi, D), s.tput)
+            depth = jnp.where(popping, _pick_row(s.st_depth, spi, D),
+                              s.depth)
+            sigma = vwhere(popping, _pick_row3(s.st_sigma, spi, D), s.sigma)
+            sp = jnp.where(popping, spi, s.sp)
+            active = s.active | popping
+        else:
+            o, d, tput, depth, sigma = s.o, s.d, s.tput, s.depth, s.sigma
+            sp, active = s.sp, s.active
 
         # ---- wavefront trace ----
         wrays = intersect.Rays(o=o, d=d, time=s.time)
@@ -263,10 +272,11 @@ def _render_machine(scene: T.Scene, rays: intersect.Rays,
         # Beer attenuation of the segment just resolved (world dirs are unit
         # length so the segment length is t; src/Scene.cpp:110-115,130-133).
         # det.t is the differentiable recompute of hit.t (same bits).
-        seg_t = jnp.where(hit_valid, det.t, 0.0)
-        tput = tput * Vec3(jnp.exp(-sigma.x * seg_t),
-                           jnp.exp(-sigma.y * seg_t),
-                           jnp.exp(-sigma.z * seg_t))
+        if has_diel:
+            seg_t = jnp.where(hit_valid, det.t, 0.0)
+            tput = tput * Vec3(jnp.exp(-sigma.x * seg_t),
+                               jnp.exp(-sigma.y * seg_t),
+                               jnp.exp(-sigma.z * seg_t))
 
         # ---- emissions ----
         iter_key = jax.random.fold_in(key, s.it)
@@ -300,44 +310,56 @@ def _render_machine(scene: T.Scene, rays: intersect.Rays,
 
         # ---- continuation rays ----
         eps = scene.shadow_eps
-        chi = jax.random.uniform(jax.random.fold_in(iter_key, 7), (2, N)) - 0.5
         wr = vreflect(d, normal)
-        wr = _glossy_perturb(wr, mats.roughness[mat_idx],
-                             mats.is_rough[mat_idx], chi[0], chi[1])
+        if scene.any_rough:
+            chi = jax.random.uniform(jax.random.fold_in(iter_key, 7),
+                                     (2, N)) - 0.5
+            wr = _glossy_perturb(wr, mats.roughness[mat_idx],
+                                 mats.is_rough[mat_idx], chi[0], chi[1])
         refl_o = det.point + normal * eps      # src/Scene.cpp:50 (always +n)
-        f_cond = _conductor_fresnel(mats.refraction[mat_idx],
-                                    mats.absorption_index[mat_idx], d, normal)
-
-        # dielectric refraction (src/Scene.cpp:57-117); snell guarded on
-        # non-dielectric lanes (their refraction index may be 0 -> 1/0)
-        nt = mats.refraction[mat_idx]
-        diel = mtype == T.MAT_DIELECTRIC
-        nt_s = jnp.where(diel, nt, 1.0)
-        no = vwhere(entering, normal, -normal)
-        snell = jnp.where(entering, 1.0 / nt_s, nt_s)
-        t_dir, tir = _refract(d, no, snell, diel)
-        refr_o = det.point - no * eps
-        n_t = jnp.where(entering, nt_s, 1.0)
-        n_i = jnp.where(entering, 1.0, nt_s)
-        fr = _fresnel_dielectric(n_t, n_i, d, t_dir, no)
-        fr = jnp.where(tir, 1.0, fr)
-        absorb = _mat3_rows(mats.absorption_coef, mat_idx)
-
-        # mirror/conductor continuation
-        cont_reflect = as_mirror | as_conductor | (as_dielectric & ~entering & tir)
-        # dielectric-entering continues with refraction
-        cont_refract = as_dielectric & (entering | (~entering & ~tir))
-
-        new_o = vwhere(cont_refract, refr_o, refl_o)
-        new_d = vwhere(cont_refract, t_dir, wr)
         mfac = _mat3_rows(mats.mirror, mat_idx)
-        w_mirror = vwhere(as_conductor, mfac * f_cond, mfac)
-        w_next = vwhere(cont_refract, Vec3(1.0 - fr, 1.0 - fr, 1.0 - fr),
-                        vwhere(as_dielectric & tir, Vec3.ones((N,)),
-                               w_mirror))
-        sigma_next = vwhere(as_dielectric & entering, absorb,
-                            vwhere(as_dielectric & ~entering & tir, absorb,
-                                   0.0))
+        if scene.any_conductor:
+            f_cond = _conductor_fresnel(mats.refraction[mat_idx],
+                                        mats.absorption_index[mat_idx],
+                                        d, normal)
+            w_mirror = vwhere(as_conductor, mfac * f_cond, mfac)
+        else:
+            w_mirror = mfac
+
+        if has_diel:
+            # dielectric refraction (src/Scene.cpp:57-117); snell guarded on
+            # non-dielectric lanes (their refraction index may be 0 -> 1/0)
+            nt = mats.refraction[mat_idx]
+            diel = mtype == T.MAT_DIELECTRIC
+            nt_s = jnp.where(diel, nt, 1.0)
+            no = vwhere(entering, normal, -normal)
+            snell = jnp.where(entering, 1.0 / nt_s, nt_s)
+            t_dir, tir = _refract(d, no, snell, diel)
+            refr_o = det.point - no * eps
+            n_t = jnp.where(entering, nt_s, 1.0)
+            n_i = jnp.where(entering, 1.0, nt_s)
+            fr = _fresnel_dielectric(n_t, n_i, d, t_dir, no)
+            fr = jnp.where(tir, 1.0, fr)
+            absorb = _mat3_rows(mats.absorption_coef, mat_idx)
+
+            # mirror/conductor continuation
+            cont_reflect = (as_mirror | as_conductor
+                            | (as_dielectric & ~entering & tir))
+            # dielectric-entering continues with refraction
+            cont_refract = as_dielectric & (entering | (~entering & ~tir))
+
+            new_o = vwhere(cont_refract, refr_o, refl_o)
+            new_d = vwhere(cont_refract, t_dir, wr)
+            w_next = vwhere(cont_refract, Vec3(1.0 - fr, 1.0 - fr, 1.0 - fr),
+                            vwhere(as_dielectric & tir, Vec3.ones((N,)),
+                                   w_mirror))
+            sigma_next = vwhere(as_dielectric & entering, absorb,
+                                vwhere(as_dielectric & ~entering & tir,
+                                       absorb, 0.0))
+        else:
+            cont_reflect = as_mirror | as_conductor
+            cont_refract = jnp.zeros((N,), bool)
+            new_o, new_d, w_next, sigma_next = refl_o, wr, w_mirror, sigma
 
         continues = (cont_reflect | cont_refract)
         # kill lanes whose continuation carries NaN (subtree contributes 0,
@@ -345,17 +367,21 @@ def _render_machine(scene: T.Scene, rays: intersect.Rays,
         bad = vany_nan(new_d) | vany_nan(new_o) | vany_nan(tput)
         continues = continues & ~bad
 
-        # ---- dielectric split: push the reflected branch ----
-        pushes = as_dielectric & ~tir & ~bad
-        push_tput = tput * fr
-        push_sigma = vwhere(~entering, absorb, Vec3.zeros((N,)))
-        put = pushes & (sp < D)
-        st_o = _put_row3(s.st_o, sp, put, refl_o, D)
-        st_d = _put_row3(s.st_d, sp, put, wr, D)
-        st_tput = _put_row3(s.st_tput, sp, put, push_tput, D)
-        st_depth = _put_row(s.st_depth, sp, put, depth - 1, D)
-        st_sigma = _put_row3(s.st_sigma, sp, put, push_sigma, D)
-        sp = jnp.where(pushes & (sp < D), sp + 1, sp)
+        if has_diel:
+            # ---- dielectric split: push the reflected branch ----
+            pushes = as_dielectric & ~tir & ~bad
+            push_tput = tput * fr
+            push_sigma = vwhere(~entering, absorb, Vec3.zeros((N,)))
+            put = pushes & (sp < D)
+            st_o = _put_row3(s.st_o, sp, put, refl_o, D)
+            st_d = _put_row3(s.st_d, sp, put, wr, D)
+            st_tput = _put_row3(s.st_tput, sp, put, push_tput, D)
+            st_depth = _put_row(s.st_depth, sp, put, depth - 1, D)
+            st_sigma = _put_row3(s.st_sigma, sp, put, push_sigma, D)
+            sp = jnp.where(pushes & (sp < D), sp + 1, sp)
+        else:
+            st_o, st_d, st_tput = s.st_o, s.st_d, s.st_tput
+            st_depth, st_sigma = s.st_depth, s.st_sigma
 
         tput = tput * vwhere(continues, w_next, 1.0)
 

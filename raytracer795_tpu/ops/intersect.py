@@ -117,10 +117,15 @@ class HitDetails(NamedTuple):
 
 def _transform_rays(group: T.TraceGroup, rays: Rays) -> Rays:
     """World ray -> group-local ray (src/Helper.cpp:110-133)."""
+    if not group.has_xform and not group.has_blur:
+        return rays
     blur = group.blur
-    o = Vec3(rays.o.x - blur[0] * rays.time,
-             rays.o.y - blur[1] * rays.time,
-             rays.o.z - blur[2] * rays.time)
+    if group.has_blur:
+        o = Vec3(rays.o.x - blur[0] * rays.time,
+                 rays.o.y - blur[1] * rays.time,
+                 rays.o.z - blur[2] * rays.time)
+    else:
+        o = rays.o
     if group.has_xform:
         m = group.minv
         o = const_affine_apply(m, o)
@@ -694,27 +699,35 @@ def hit_details(scene: T.Scene, rays: Rays, hit: Hit,
     # advanced+scalar indexing (``minv[g, 0, 0]``) lowers to scalar-offset
     # gathers at ~3 ms apiece per 262k lanes on v5e — 24 of them were the
     # round-2 regression; row gathers + column slices run at the floor.
-    minv = jnp.stack([gr.minv.reshape(16) for gr in groups])        # [G, 16]
-    minv_t3 = jnp.stack([gr.minv_t[:3, :3].reshape(9) for gr in groups])
-    blur = jnp.stack([gr.blur for gr in groups])                    # [G, 3]
-    mrec = minv[g]          # [N, 16]
-    trec = minv_t3[g]       # [N, 9]
-    brec = blur[g]          # [N, 3]
-    o_b = Vec3(rays.o.x - brec[:, 0] * rays.time,
-               rays.o.y - brec[:, 1] * rays.time,
-               rays.o.z - brec[:, 2] * rays.time)
+    # Fully static scenes (no transforms, no blur — the common case) skip
+    # the gathers and matrix math entirely: local == world, minv_t == I.
+    static_world = all(not gr.has_xform and not gr.has_blur
+                       for gr in groups)
+    if static_world:
+        local_o, local_d = rays.o, rays.d
+        lane_minv_t = out.minv_t        # identity
+    else:
+        minv = jnp.stack([gr.minv.reshape(16) for gr in groups])    # [G, 16]
+        minv_t3 = jnp.stack([gr.minv_t[:3, :3].reshape(9) for gr in groups])
+        blur = jnp.stack([gr.blur for gr in groups])                # [G, 3]
+        mrec = minv[g]          # [N, 16]
+        trec = minv_t3[g]       # [N, 9]
+        brec = blur[g]          # [N, 3]
+        o_b = Vec3(rays.o.x - brec[:, 0] * rays.time,
+                   rays.o.y - brec[:, 1] * rays.time,
+                   rays.o.z - brec[:, 2] * rays.time)
 
-    def lane_mat3(rec, stride):
-        return Mat3(
-            Vec3(rec[:, 0], rec[:, 1], rec[:, 2]),
-            Vec3(rec[:, stride], rec[:, stride + 1], rec[:, stride + 2]),
-            Vec3(rec[:, 2 * stride], rec[:, 2 * stride + 1],
-                 rec[:, 2 * stride + 2]))
+        def lane_mat3(rec, stride):
+            return Mat3(
+                Vec3(rec[:, 0], rec[:, 1], rec[:, 2]),
+                Vec3(rec[:, stride], rec[:, stride + 1], rec[:, stride + 2]),
+                Vec3(rec[:, 2 * stride], rec[:, 2 * stride + 1],
+                     rec[:, 2 * stride + 2]))
 
-    mv3 = lane_mat3(mrec, 4)
-    local_o = mv3.apply(o_b) + Vec3(mrec[:, 3], mrec[:, 7], mrec[:, 11])
-    local_d = mv3.apply(rays.d)
-    lane_minv_t = lane_mat3(trec, 3)
+        mv3 = lane_mat3(mrec, 4)
+        local_o = mv3.apply(o_b) + Vec3(mrec[:, 3], mrec[:, 7], mrec[:, 11])
+        local_d = mv3.apply(rays.d)
+        lane_minv_t = lane_mat3(trec, 3)
 
     # host-side global-id offsets from static per-group counts
     tri_offs = np.cumsum([0] + [gr.n_tris for gr in groups])
@@ -733,12 +746,38 @@ def hit_details(scene: T.Scene, rays: Rays, hit: Hit,
         sel = hit.valid & ~hit.is_sphere
         tid = jnp.clip(jnp.asarray(tri_offs, jnp.int32)[g] + hit.prim,
                        0, n_tris_total - 1)
-        vidx = concat("tri_vidx", tri_kinds)[tid]           # [N, 3]
-        i0, i1, i2 = vidx[:, 0], vidx[:, 1], vidx[:, 2]
-        vt = Vec3.from_array(verts)                         # [V] tables
-        a = _gather3(vt, i0)
-        b = _gather3(vt, i1)
-        c = _gather3(vt, i2)
+        # ---- per-TRIANGLE attribute table, gathered by ONE [N]-row pass ----
+        # ~33 separate per-lane gathers (vertices x3, normals x3, uv x6,
+        # mat/tex/smooth/emis...) cost ~6 ms EACH at 640k lanes on v5e —
+        # this stage was 144 ms, all gather launches. The table below is
+        # [T]-sized work (XLA hoists it out of any lane math, and its own
+        # gathers are over the small primitive axis); the per-lane part
+        # collapses to one row gather of a [T, 32]-wide record. Gradients
+        # to scene.vertices / texcoords / vertex_normals flow through the
+        # table construction's gathers (scatter-add VJP), unchanged.
+        vidx_t = concat("tri_vidx", tri_kinds)              # [T, 3]
+        i0t, i1t, i2t = vidx_t[:, 0], vidx_t[:, 1], vidx_t[:, 2]
+        uvoff_t = concat("tri_uvoff", tri_kinds)
+        texcoords = jnp.asarray(scene.texcoords)
+        ntc = texcoords.shape[0]
+        j0t = jnp.clip(i0t + uvoff_t, 0, ntc - 1)
+        j1t = jnp.clip(i1t + uvoff_t, 0, ntc - 1)
+        j2t = jnp.clip(i2t + uvoff_t, 0, ntc - 1)
+        col = lambda x: x.astype(jnp.float32)[:, None]
+        table = jnp.concatenate([
+            verts[i0t], verts[i1t], verts[i2t],             # a b c   0:9
+            vertex_normals[i0t], vertex_normals[i1t],
+            vertex_normals[i2t],                            # n0..n2  9:18
+            texcoords[j0t], texcoords[j1t], texcoords[j2t],  # uv     18:24
+            concat("tri_emis", tri_kinds),                  # emis   24:27
+            col(concat("tri_smooth", tri_kinds)),           # 27
+            col(concat("tri_mat", tri_kinds)),              # 28 (ids exact
+            col(concat("tri_tex0", tri_kinds)),             # 29  in f32:
+            col(concat("tri_tex1", tri_kinds)),             # 30  < 2^24)
+        ], axis=1)
+        rec = table[tid]                                    # [N, 31]
+        v3 = lambda k: Vec3(rec[:, k], rec[:, k + 1], rec[:, k + 2])
+        a, b, c = v3(0), v3(3), v3(6)
         # Recompute bary AND t for the winner (the same Cramer system the
         # trace solved, src/Shape.cpp:120-132) — this is where gradients
         # flow. Same op order as _tri_candidates: identical forward bits.
@@ -756,34 +795,23 @@ def hit_details(scene: T.Scene, rays: Rays, hit: Hit,
         t_tri = vdot(vcross(e1, e2), ao) * inv_det
         alpha = 1.0 - beta - gamma
         lpoint = local_o + local_d * t_tri
-        smooth = concat("tri_smooth", tri_kinds)[tid]
+        smooth = rec[:, 27] != 0
         n_flat = vcross(c - b, a - b)
-        vn = Vec3.from_array(vertex_normals)
-        n_smooth = (_gather3(vn, i0) * alpha + _gather3(vn, i1) * beta
-                    + _gather3(vn, i2) * gamma)
+        n_smooth = v3(9) * alpha + v3(12) * beta + v3(15) * gamma
         n = vwhere(smooth, n_smooth, n_flat)
         n = vmasked_normalize(sel, n)
-        # uv rows: vidx + per-tri uv offset (src/Shape.cpp:515-517)
-        uvoff = concat("tri_uvoff", tri_kinds)[tid]
-        texcoords = jnp.asarray(scene.texcoords)
-        tc_u, tc_v = texcoords[:, 0], texcoords[:, 1]
-        ntc = texcoords.shape[0]
-        j0 = jnp.clip(i0 + uvoff, 0, ntc - 1)
-        j1 = jnp.clip(i1 + uvoff, 0, ntc - 1)
-        j2 = jnp.clip(i2 + uvoff, 0, ntc - 1)
-        u0, v0 = tc_u[j0], tc_v[j0]
-        u1, v1 = tc_u[j1], tc_v[j1]
-        u2, v2 = tc_u[j2], tc_v[j2]
+        u0, v0 = rec[:, 18], rec[:, 19]
+        u1, v1 = rec[:, 20], rec[:, 21]
+        u2, v2 = rec[:, 22], rec[:, 23]
         uu = u0 * alpha + u1 * beta + u2 * gamma
         vv = v0 * alpha + v1 * beta + v2 * gamma
-        emis = Vec3.from_array(concat("tri_emis", tri_kinds))
         out = out._replace(
             point=vwhere(sel, rays.o + rays.d * t_tri, out.point),
             t=jnp.where(sel, t_tri, out.t),
             normal=vwhere(sel, n, out.normal),
-            mat=jnp.where(sel, concat("tri_mat", tri_kinds)[tid], out.mat),
-            tex0=jnp.where(sel, concat("tri_tex0", tri_kinds)[tid], out.tex0),
-            tex1=jnp.where(sel, concat("tri_tex1", tri_kinds)[tid], out.tex1),
+            mat=jnp.where(sel, rec[:, 28].astype(jnp.int32), out.mat),
+            tex0=jnp.where(sel, rec[:, 29].astype(jnp.int32), out.tex0),
+            tex1=jnp.where(sel, rec[:, 30].astype(jnp.int32), out.tex1),
             u=jnp.where(sel, uu, out.u),
             v=jnp.where(sel, vv, out.v),
             local_point=vwhere(sel, lpoint, out.local_point),
@@ -796,7 +824,7 @@ def hit_details(scene: T.Scene, rays: Rays, hit: Hit,
             uv2u=jnp.where(sel, u2, out.uv2u),
             uv2v=jnp.where(sel, v2, out.uv2v),
             minv_t=mwhere(sel, lane_minv_t, out.minv_t),
-            emission=vwhere(sel, _gather3(emis, tid), out.emission),
+            emission=vwhere(sel, v3(24), out.emission),
         )
 
     if n_sph_total:

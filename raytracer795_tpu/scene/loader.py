@@ -611,6 +611,7 @@ def load_scene(xml_path: str,
             minv=minv.astype(np.float32), minv_t=minv_t.astype(np.float32),
             blur=np.asarray(blur, np.float32),
             name=name, has_xform=has_xform,
+            has_blur=bool(np.any(np.asarray(blur, np.float32) != 0.0)),
             n_tris=len(tri["tri_vidx"]), n_spheres=len(sph["sph_cidx"]),
             bvh=flat_bvh, bvh_pack=bvh_pack,
         )
@@ -811,6 +812,10 @@ def load_scene(xml_path: str,
         max_depth=max_depth,
         any_dielectric=bool(np.any(np.asarray(materials.mtype)
                                    == T.MAT_DIELECTRIC)),
+        any_brdf=bool(np.any(np.asarray(materials.brdf) != T.BRDF_NONE)),
+        any_conductor=bool(np.any(np.asarray(materials.mtype)
+                                  == T.MAT_CONDUCTOR)),
+        any_rough=bool(np.any(np.asarray(materials.is_rough))),
         bg_texture=bg_texture,
         env_texture=env_texture,
         n_textures=len(textures),

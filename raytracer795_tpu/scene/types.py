@@ -127,7 +127,8 @@ class FlatBVH:
     max_leaf: int
 
 
-@_dataclass_pytree(meta=("name", "has_xform", "n_tris", "n_spheres"))
+@_dataclass_pytree(meta=("name", "has_xform", "n_tris", "n_spheres",
+                         "has_blur"))
 class TraceGroup:
     """One intersectable unit: a set of primitives sharing one transform.
 
@@ -176,6 +177,9 @@ class TraceGroup:
     has_xform: bool
     n_tris: int
     n_spheres: int
+    # static: True iff blur is nonzero (lets compiled programs skip the
+    # per-lane motion-blur origin offset and transform gathers entirely)
+    has_blur: bool = False
 
     # --- optional flat BVH over this group's triangles --------------------
     # Built at load time (ops/bvh.py) for large groups; None => linear scan.
@@ -250,6 +254,7 @@ class Camera:
 @_dataclass_pytree(meta=(
     "max_depth", "bg_texture", "env_texture", "n_textures", "texture_statics",
     "renderer", "pt_nee", "pt_importance", "pt_rr", "any_dielectric",
+    "any_brdf", "any_conductor", "any_rough",
 ))
 class Scene:
     """The whole scene as a pytree (device side) + static structure."""
@@ -272,8 +277,15 @@ class Scene:
     pt_rr: bool = False         # RussianRoulette (throughput method)
     max_depth: int = 1  # default 1 (src/Parser.h:23)
     # True iff any material is dielectric: bounds the Whitted iteration count
-    # (dielectrics split the lane's ray tree; without them it is a chain).
+    # (dielectrics split the lane's ray tree; without them it is a chain),
+    # and gates the refraction/stack machinery of the lane machine.
     any_dielectric: bool = True
+    # Static material-class flags: compiled programs skip whole shading
+    # branches (8-BRDF blend, conductor Fresnel, glossy jitter) when no
+    # material of that class exists — the masks would be all-False anyway.
+    any_brdf: bool = True
+    any_conductor: bool = True
+    any_rough: bool = True
     bg_texture: int = -1    # texture index with ReplaceBackground decal, or -1
     env_texture: int = -1   # texture index of the environment light image
     n_textures: int = 0
