@@ -348,9 +348,10 @@ def _sphere_candidates(scene: T.Scene, group: T.TraceGroup, local: Rays
     return skey, st, si.astype(jnp.int32)
 
 
-def _bvh_tables(group: T.TraceGroup):
-    """Component tables of the group's flat BVH + leaf-ordered triangles."""
-    bvh: T.FlatBVH = jax.tree_util.tree_map(jnp.asarray, group.bvh)
+def _bvh_tables(group_or_flat):
+    """Component tables of a flat BVH (a group's own, or one pack's)."""
+    flat = getattr(group_or_flat, "bvh", group_or_flat)
+    bvh: T.FlatBVH = jax.tree_util.tree_map(jnp.asarray, flat)
     bmin = Vec3.from_array(bvh.bmin)        # [M] x3
     bmax = Vec3.from_array(bvh.bmax)
     return bvh, bmin, bmax
@@ -379,7 +380,8 @@ def _slab_test(o: Vec3, d: Vec3, inv_d: Vec3, bmin: Vec3, bmax: Vec3):
     return ~(exit_ < entry), entry
 
 
-def _tri_bvh_candidates(scene: T.Scene, group: T.TraceGroup, local: Rays
+def _tri_bvh_candidates(scene: T.Scene, group: T.TraceGroup, local: Rays,
+                        flat=None
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Nearest triangle per ray via the group's flat BVH.
 
@@ -396,8 +398,11 @@ def _tri_bvh_candidates(scene: T.Scene, group: T.TraceGroup, local: Rays
       best |t| and the entry is ahead of the origin — exactly the hits the
       |t| ranking (src/BVH.cpp:165-171) could still accept;
     - triangle accept tests and |t| ranking as in src/Shape.cpp:113-155.
+
+    ``flat`` overrides the group's own BVH (multi-pack fallback: each
+    pack's FlatBVH carries globally-offset prim ids into the same tables).
     """
-    bvh, bmin_t, bmax_t = _bvh_tables(group)
+    bvh, bmin_t, bmax_t = _bvh_tables(group if flat is None else flat)
     n_nodes = bvh.bmin.shape[0]
     n_tris = group.n_tris
     K = bvh.max_leaf
@@ -483,16 +488,32 @@ def trace(scene: T.Scene, rays: Rays) -> Hit:
         g_sph = jnp.zeros((N,), bool)
         if group.n_tris:
             mode = _pallas_mode()
-            if group.bvh is not None and group.bvh_pack is not None \
-                    and mode != "off":
-                from raytracer795_tpu.ops import pallas_bvh
+            from raytracer795_tpu.ops import pallas_bvh
 
+            if group.bvh_pack is not None and mode != "off" \
+                    and isinstance(group.bvh_pack, pallas_bvh.MultiPack):
+                tk, tt, tidx = pallas_bvh.tri_bvh_nearest_multi(
+                    group.bvh_pack, local.o, local.d, scene.int_eps,
+                    interpret=(mode == "interp"))
+            elif group.bvh is not None and group.bvh_pack is not None \
+                    and mode != "off":
                 tk, tt, tidx = pallas_bvh.tri_bvh_nearest(
                     group.bvh_pack, local.o, local.d, scene.int_eps,
                     group.bvh.first.shape[0], group.bvh.max_leaf,
                     interpret=(mode == "interp"))
             elif group.bvh is not None:
                 tk, tt, tidx = _tri_bvh_candidates(scene, group, local)
+            elif group.pack_bvhs is not None:
+                # jnp fallback over the packs, merged by the |t| key
+                tk, tt, tidx = _tri_bvh_candidates(scene, group, local,
+                                                   flat=group.pack_bvhs[0])
+                for fb in group.pack_bvhs[1:]:
+                    k2, t2, i2 = _tri_bvh_candidates(scene, group, local,
+                                                     flat=fb)
+                    upd = k2 < tk
+                    tt = jnp.where(upd, t2, tt)
+                    tidx = jnp.where(upd, i2, tidx)
+                    tk = jnp.minimum(tk, k2)
             else:
                 bbox_ok = _bbox_pass(group, local)
                 tk, tt, tidx = _tri_candidates(scene, group, local, bbox_ok)
@@ -517,7 +538,7 @@ def trace(scene: T.Scene, rays: Rays) -> Hit:
 
 
 def _tri_bvh_anyhit(scene: T.Scene, group: T.TraceGroup, local: Rays,
-                    t_cap: jnp.ndarray) -> jnp.ndarray:
+                    t_cap: jnp.ndarray, flat=None) -> jnp.ndarray:
     """Any accepted triangle with t in (0, t_cap)? Early-exit BVH walk.
 
     Same skip-link lockstep walk as ``_tri_bvh_candidates`` with two shadow
@@ -526,7 +547,7 @@ def _tri_bvh_anyhit(scene: T.Scene, group: T.TraceGroup, local: Rays,
     runs full nearest-hit for shadows, src/Light.cpp:188-204 — an any-hit
     needs none of that bookkeeping).
     """
-    bvh, bmin_t, bmax_t = _bvh_tables(group)
+    bvh, bmin_t, bmax_t = _bvh_tables(group if flat is None else flat)
     n_nodes = bvh.bmin.shape[0]
     n_tris = group.n_tris
     K = bvh.max_leaf
@@ -595,16 +616,25 @@ def trace_anyhit(scene: T.Scene, rays: Rays, t_cap) -> jnp.ndarray:
         local = _transform_rays(group, rays)
         if group.n_tris:
             mode = _pallas_mode()
-            if group.bvh is not None and group.bvh_pack is not None \
-                    and mode != "off":
-                from raytracer795_tpu.ops import pallas_bvh
+            from raytracer795_tpu.ops import pallas_bvh
 
+            if group.bvh_pack is not None and mode != "off" \
+                    and isinstance(group.bvh_pack, pallas_bvh.MultiPack):
+                found = found | pallas_bvh.tri_bvh_anyhit_multi(
+                    group.bvh_pack, local.o, local.d, t_cap, scene.int_eps,
+                    interpret=(mode == "interp"))
+            elif group.bvh is not None and group.bvh_pack is not None \
+                    and mode != "off":
                 found = found | pallas_bvh.tri_bvh_anyhit(
                     group.bvh_pack, local.o, local.d, t_cap, scene.int_eps,
                     group.bvh.first.shape[0], group.bvh.max_leaf,
                     interpret=(mode == "interp"))
             elif group.bvh is not None:
                 found = found | _tri_bvh_anyhit(scene, group, local, t_cap)
+            elif group.pack_bvhs is not None:
+                for fb in group.pack_bvhs:
+                    found = found | _tri_bvh_anyhit(scene, group, local,
+                                                    t_cap, flat=fb)
             else:
                 bbox_ok = _bbox_pass(group, local)
                 k, t, _ = _tri_candidates(scene, group, local, bbox_ok)

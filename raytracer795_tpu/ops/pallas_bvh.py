@@ -40,7 +40,8 @@ pages/Page2.md:57); larger groups fall back to the jnp path.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+import os
+from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -77,23 +78,35 @@ def pack_nbytes(pack: "BVHPack") -> int:
     return (pack.node_rows.size + pack.tri_rows.size) * 4
 
 
-def build_pack(flat: T.FlatBVH, verts: np.ndarray, tri_vidx: np.ndarray
-               ) -> BVHPack:
+def _tri_comps(verts: np.ndarray, tri_vidx: np.ndarray) -> np.ndarray:
+    """Per-triangle packed components [T, 12]: a, e1=a-b, e2=a-c, ng=e1xe2
+    (reference column convention, src/Shape.cpp:120-132)."""
+    verts = np.asarray(verts, np.float32)
+    tri_vidx = np.asarray(tri_vidx, np.int32)
+    a = verts[tri_vidx[:, 0]]
+    b = verts[tri_vidx[:, 1]]
+    c = verts[tri_vidx[:, 2]]
+    e1 = a - b
+    e2 = a - c
+    ng = np.cross(e1, e2)
+    return np.concatenate([a, e1, e2, ng], axis=1)
+
+
+def build_pack(flat: T.FlatBVH, verts: np.ndarray, tri_vidx: np.ndarray,
+               comp: np.ndarray | None = None, as_arrays: bool = False):
     """Pack a flat BVH + its (leaf-ordered) triangles into kernel tables.
 
     ``tri_vidx`` must already be in the BVH's permuted (leaf-contiguous)
     order — exactly what the loader stores in the group after ``bvh.build``.
     Leaf (first, count) prim ranges are re-addressed to (first_row, n_rows)
     with per-slot prim ids, so the kernel needs no count arithmetic.
+    ``flat.first`` may be globally offset (multi-pack); ``comp``/``tri_vidx``
+    are then the FULL group tables indexed by those global ids.
+    ``as_arrays`` returns raw numpy (node_rows, tri_rows) for multi-pack
+    stacking instead of a device BVHPack.
     """
-    verts = np.asarray(verts, np.float32)
-    tri_vidx = np.asarray(tri_vidx, np.int32)
-    a = verts[tri_vidx[:, 0]]
-    b = verts[tri_vidx[:, 1]]
-    c = verts[tri_vidx[:, 2]]
-    e1 = a - b                      # reference column convention
-    e2 = a - c                      # (src/Shape.cpp:120-132)
-    ng = np.cross(e1, e2)
+    if comp is None:
+        comp = _tri_comps(verts, tri_vidx)
 
     first = np.asarray(flat.first)
     count = np.asarray(flat.count)
@@ -103,7 +116,6 @@ def build_pack(flat: T.FlatBVH, verts: np.ndarray, tri_vidx: np.ndarray
     n_nodes = first.shape[0]
 
     # --- triangle rows, leaf by leaf (vectorized over rows) ---
-    comp = np.concatenate([a, e1, e2, ng], axis=1)      # [T, 12]
     node_first_row = np.zeros(n_nodes, np.int32)
     node_n_rows = np.zeros(n_nodes, np.int32)
     leaf_ids = np.nonzero(count > 0)[0]
@@ -141,6 +153,8 @@ def build_pack(flat: T.FlatBVH, verts: np.ndarray, tri_vidx: np.ndarray
     for k in range(NODES_PER_ROW):
         sl = fields[k::NODES_PER_ROW]
         node_rows[:sl.shape[0], k * NODE_STRIDE:k * NODE_STRIDE + 9] = sl
+    if as_arrays:
+        return node_rows, tri_rows
     return BVHPack(node_rows=jnp.asarray(node_rows),
                    tri_rows=jnp.asarray(tri_rows))
 
@@ -418,3 +432,297 @@ def tri_bvh_anyhit(pack: BVHPack, local_o, local_d, t_cap, int_eps,
     return _anyhit_call(local_o, local_d, t_cap, pack.node_rows,
                         pack.tri_rows, int_eps, int(n_nodes),
                         max_leaf_rows_of(max_leaf), interpret)
+
+
+# --------------------------------------------------------------------------
+# Multi-pack streaming traversal: beyond-VMEM meshes (the reference's
+# flagship 1.8M-triangle dragon, pages/Page2.md:57)
+# --------------------------------------------------------------------------
+#
+# A single pack is capped at ~140k triangles by VMEM. Bigger groups are
+# partitioned into K packs of <= PACK_TRIS triangles by Morton order of the
+# triangle centroids (spatially coherent chunks), each with its own flat
+# skip-link BVH. The kernel grid becomes (ray_block, pack) with the pack
+# axis INNERMOST: the per-ray-block best-hit registers live in the output
+# refs and accumulate across consecutive pack steps (legal revisiting),
+# while Pallas's block pipeline streams pack k+1's node/tri tables from HBM
+# into VMEM during pack k's walk — double-buffered DMA without hand-written
+# semaphores. The per-lane `entry > best` prune carries across packs, so
+# later packs behind an already-found hit reject at their root.
+
+PACK_TRIS = int(os.environ.get("RT795_PACK_TRIS", "0")) or 63 * 1024
+
+
+@T._dataclass_pytree(meta=("max_leaf",))
+class MultiPack:
+    """Stacked per-pack kernel tables (pytree; ``max_leaf`` static)."""
+
+    node_rows: Any      # [K, NR, 128] f32 (row-padded per pack)
+    tri_rows: Any       # [K, TR, 128] f32
+    n_nodes: Any        # [K] int32 true node count per pack
+    max_leaf: int = 36
+
+
+def multipack_nbytes(mp: "MultiPack") -> int:
+    return (np.prod(mp.node_rows.shape) + np.prod(mp.tri_rows.shape)) * 4
+
+
+def _morton3(q: np.ndarray) -> np.ndarray:
+    """Interleave 3x10-bit quantized coords into 30-bit Morton keys."""
+    out = np.zeros(q.shape[0], np.int64)
+    for b in range(10):
+        for ax in range(3):
+            out |= ((q[:, ax].astype(np.int64) >> b) & 1) << (3 * b + ax)
+    return out
+
+
+def build_multipack(verts: np.ndarray, tri_vidx: np.ndarray,
+                    build_fn) -> Tuple["MultiPack", np.ndarray, tuple]:
+    """Partition + per-pack build for a beyond-VMEM triangle group.
+
+    Returns (MultiPack, perm, pack_bvhs): ``perm`` is the global triangle
+    permutation (Morton chunking composed with each pack's leaf order) the
+    caller must apply to its SoA; ``pack_bvhs`` are the per-pack FlatBVHs
+    with GLOBALLY-offset ``first`` ids — the jnp fallback walks them
+    sequentially against the group's full triangle tables.
+    """
+    verts = np.asarray(verts, np.float32)
+    tri_vidx = np.asarray(tri_vidx, np.int32)
+    n = tri_vidx.shape[0]
+    cent = (verts[tri_vidx[:, 0]] + verts[tri_vidx[:, 1]]
+            + verts[tri_vidx[:, 2]]) / 3.0
+    lo, hi = cent.min(0), cent.max(0)
+    q = np.clip(((cent - lo) / np.maximum(hi - lo, 1e-30) * 1023.0), 0,
+                1023).astype(np.int32)
+    order = np.argsort(_morton3(q), kind="stable").astype(np.int32)
+
+    n_packs = -(-n // PACK_TRIS)
+    perm_parts, flats, node_tabs, tri_tabs = [], [], [], []
+    start = 0
+    for p in range(n_packs):
+        ids = order[p * PACK_TRIS:(p + 1) * PACK_TRIS]
+        from raytracer795_tpu.ops import bvh as bvh_mod
+
+        pbmin, pbmax = bvh_mod.tri_bounds(verts, tri_vidx[ids])
+        flat, pperm = build_fn(pbmin, pbmax)
+        ids = ids[pperm]                    # pack-local leaf order
+        flat = T.FlatBVH(bmin=flat.bmin, bmax=flat.bmax,
+                         first=np.asarray(flat.first) + start,
+                         count=flat.count, miss=flat.miss,
+                         max_leaf=flat.max_leaf)
+        perm_parts.append(ids)
+        flats.append(flat)
+        start += ids.shape[0]
+    perm = np.concatenate(perm_parts)
+    tri_vidx_g = tri_vidx[perm]
+    comp = _tri_comps(verts, tri_vidx_g)
+    for flat in flats:
+        nr, tr = build_pack(flat, verts, tri_vidx_g, comp=comp,
+                            as_arrays=True)
+        node_tabs.append(nr)
+        tri_tabs.append(tr)
+
+    NR = max(t.shape[0] for t in node_tabs)
+    TR = max(t.shape[0] for t in tri_tabs)
+    node_rows = np.zeros((n_packs, NR, LANES), np.float32)
+    tri_rows = np.zeros((n_packs, TR, LANES), np.float32)
+    for p in range(n_packs):
+        node_rows[p, :node_tabs[p].shape[0]] = node_tabs[p]
+        tri_rows[p, :tri_tabs[p].shape[0]] = tri_tabs[p]
+    mp = MultiPack(
+        node_rows=jnp.asarray(node_rows), tri_rows=jnp.asarray(tri_rows),
+        n_nodes=jnp.asarray([f.first.shape[0] for f in flats], jnp.int32),
+        max_leaf=max(int(f.max_leaf) for f in flats))
+    return mp, perm, tuple(flats)
+
+
+def _nearest_multi_kernel(max_leaf_rows,
+                          eps_ref, nn_ref, ox_ref, oy_ref, oz_ref,
+                          dx_ref, dy_ref, dz_ref, nodes_ref, tris_ref,
+                          key_ref, t_ref, idx_ref):
+    import jax.experimental.pallas as pl
+
+    k = pl.program_id(1)
+    n_nodes = nn_ref[k]
+    int_eps = eps_ref[0]
+    ox, oy, oz, dx, dy, dz, ix, iy, iz, alive = _ray_regs(
+        (ox_ref, oy_ref, oz_ref), (dx_ref, dy_ref, dz_ref))
+    nodes2 = nodes_ref.at[0]
+    tris2 = tris_ref.at[0]
+
+    @pl.when(k == 0)
+    def _():
+        key_ref[:] = jnp.full((BLOCK_ROWS, LANES), _BIG)
+        t_ref[:] = jnp.zeros((BLOCK_ROWS, LANES), jnp.float32)
+        idx_ref[:] = jnp.zeros((BLOCK_ROWS, LANES), jnp.int32)
+
+    def body(node):
+        bmin, bmax, first_row, n_rows, miss = _read_node(nodes2, node)
+        box_hit, entry = _slab(ox, oy, oz, dx, dy, dz, ix, iy, iz, bmin, bmax)
+        live = box_hit & ~(entry > key_ref[:]) & alive      # safe |t| prune
+        any_live = jnp.any(live)
+        is_leaf = n_rows > 0
+
+        for r in range(max_leaf_rows):
+            @pl.when(any_live & (r < n_rows))
+            def _(r=r):
+                row = tris2[pl.ds(first_row + r, 1), :]
+                best_key = key_ref[:]
+                best_t = t_ref[:]
+                best_idx = idx_ref[:]
+                for j in range(TRIS_PER_ROW):
+                    ok, t, prim = _tri_block_test(
+                        row, j, ox, oy, oz, dx, dy, dz, int_eps)
+                    ok = ok & live
+                    key = jnp.where(ok, jnp.abs(t), _BIG)
+                    upd = key < best_key
+                    best_t = jnp.where(upd, t, best_t)
+                    best_idx = jnp.where(upd, prim.astype(jnp.int32),
+                                         best_idx)
+                    best_key = jnp.minimum(best_key, key)
+                key_ref[:] = best_key
+                t_ref[:] = best_t
+                idx_ref[:] = best_idx
+
+        descend = any_live & ~is_leaf
+        return jnp.where(descend, node + 1, miss)
+
+    jax.lax.while_loop(lambda n: n < n_nodes, body, jnp.int32(0))
+
+
+def _anyhit_multi_kernel(max_leaf_rows,
+                         eps_ref, nn_ref, ox_ref, oy_ref, oz_ref,
+                         dx_ref, dy_ref, dz_ref, cap_ref,
+                         nodes_ref, tris_ref, found_ref):
+    import jax.experimental.pallas as pl
+
+    k = pl.program_id(1)
+    n_nodes = nn_ref[k]
+    int_eps = eps_ref[0]
+    ox, oy, oz, dx, dy, dz, ix, iy, iz, alive = _ray_regs(
+        (ox_ref, oy_ref, oz_ref), (dx_ref, dy_ref, dz_ref))
+    t_cap = cap_ref[:]
+    nodes2 = nodes_ref.at[0]
+    tris2 = tris_ref.at[0]
+
+    @pl.when(k == 0)
+    def _():
+        found_ref[:] = jnp.zeros((BLOCK_ROWS, LANES), jnp.int32)
+
+    def body(node):
+        bmin, bmax, first_row, n_rows, miss = _read_node(nodes2, node)
+        box_hit, entry = _slab(ox, oy, oz, dx, dy, dz, ix, iy, iz, bmin, bmax)
+        live = box_hit & ~(entry > t_cap) & alive & (found_ref[:] == 0)
+        any_live = jnp.any(live)
+        is_leaf = n_rows > 0
+
+        for r in range(max_leaf_rows):
+            @pl.when(any_live & (r < n_rows))
+            def _(r=r):
+                row = tris2[pl.ds(first_row + r, 1), :]
+                found = found_ref[:]
+                for j in range(TRIS_PER_ROW):
+                    ok, t, _ = _tri_block_test(
+                        row, j, ox, oy, oz, dx, dy, dz, int_eps)
+                    hit = ok & live & (t > 0) & (t < t_cap)
+                    found = jnp.where(hit, 1, found)
+                found_ref[:] = found
+
+        done = ~jnp.any(alive & (found_ref[:] == 0))
+        descend = any_live & ~is_leaf
+        nxt = jnp.where(descend, node + 1, miss)
+        return jnp.where(done, n_nodes, nxt)
+
+    jax.lax.while_loop(lambda n: n < n_nodes, body, jnp.int32(0))
+
+
+def _multi_specs(NR, TR):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rblock = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i, k: (i, 0),
+                          memory_space=pltpu.VMEM)
+    nblock = pl.BlockSpec((1, NR, LANES), lambda i, k: (k, 0, 0),
+                          memory_space=pltpu.VMEM)
+    tblock = pl.BlockSpec((1, TR, LANES), lambda i, k: (k, 0, 0),
+                          memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return rblock, nblock, tblock, smem
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_leaf_rows", "interpret"))
+def _nearest_multi_call(o, d, node_rows, tri_rows, n_nodes, int_eps,
+                        max_leaf_rows: int, interpret: bool):
+    import jax.experimental.pallas as pl
+
+    (ox, n), (oy, _), (oz, _) = (_pad_block(c, jnp.nan) for c in o)
+    (dx, _), (dy, _), (dz, _) = (_pad_block(c, jnp.nan) for c in d)
+    n_rows_total = ox.shape[0]
+    n_blocks = n_rows_total // BLOCK_ROWS
+    K, NR = node_rows.shape[0], node_rows.shape[1]
+    TR = tri_rows.shape[1]
+    rblock, nblock, tblock, smem = _multi_specs(NR, TR)
+    eps = jnp.asarray(int_eps, jnp.float32).reshape(1)
+
+    kernel = functools.partial(_nearest_multi_kernel, max_leaf_rows)
+    out_shape = [
+        jax.ShapeDtypeStruct((n_rows_total, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_rows_total, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_rows_total, LANES), jnp.int32),
+    ]
+    key, t, idx = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, K),
+        out_shape=out_shape,
+        in_specs=[smem, smem] + [rblock] * 6 + [nblock, tblock],
+        out_specs=[rblock] * 3,
+        interpret=interpret,
+    )(eps, n_nodes, ox, oy, oz, dx, dy, dz, node_rows, tri_rows)
+    return key.reshape(-1)[:n], t.reshape(-1)[:n], idx.reshape(-1)[:n]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_leaf_rows", "interpret"))
+def _anyhit_multi_call(o, d, t_cap, node_rows, tri_rows, n_nodes, int_eps,
+                       max_leaf_rows: int, interpret: bool):
+    import jax.experimental.pallas as pl
+
+    (ox, n), (oy, _), (oz, _) = (_pad_block(c, jnp.nan) for c in o)
+    (dx, _), (dy, _), (dz, _) = (_pad_block(c, jnp.nan) for c in d)
+    cap, _ = _pad_block(t_cap, 0.0)
+    n_rows_total = ox.shape[0]
+    n_blocks = n_rows_total // BLOCK_ROWS
+    K, NR = node_rows.shape[0], node_rows.shape[1]
+    TR = tri_rows.shape[1]
+    rblock, nblock, tblock, smem = _multi_specs(NR, TR)
+    eps = jnp.asarray(int_eps, jnp.float32).reshape(1)
+
+    kernel = functools.partial(_anyhit_multi_kernel, max_leaf_rows)
+    found = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, K),
+        out_shape=jax.ShapeDtypeStruct((n_rows_total, LANES), jnp.int32),
+        in_specs=[smem, smem] + [rblock] * 7 + [nblock, tblock],
+        out_specs=rblock,
+        interpret=interpret,
+    )(eps, n_nodes, ox, oy, oz, dx, dy, dz, cap, node_rows, tri_rows)
+    return found.reshape(-1)[:n] != 0
+
+
+def tri_bvh_nearest_multi(mp: "MultiPack", local_o, local_d, int_eps,
+                          interpret: bool = False):
+    """Nearest-hit over all packs: (|t| key, t, GLOBAL prim index)."""
+    return _nearest_multi_call(local_o, local_d, mp.node_rows, mp.tri_rows,
+                               mp.n_nodes, int_eps,
+                               max_leaf_rows_of(mp.max_leaf), interpret)
+
+
+def tri_bvh_anyhit_multi(mp: "MultiPack", local_o, local_d, t_cap, int_eps,
+                         interpret: bool = False):
+    """Occlusion query over all packs: [N] bool."""
+    t_cap = jnp.broadcast_to(jnp.asarray(t_cap, jnp.float32),
+                             local_o.x.shape)
+    return _anyhit_multi_call(local_o, local_d, t_cap, mp.node_rows,
+                              mp.tri_rows, mp.n_nodes, int_eps,
+                              max_leaf_rows_of(mp.max_leaf), interpret)

@@ -574,30 +574,40 @@ def load_scene(xml_path: str,
     def maybe_bvh(tri, cache_key=None):
         n = len(tri["tri_vidx"])
         if n < max(bvh_min_tris, 2):
-            return tri, None, None
+            return tri, None, None, None
         cached = _bvh_cache.get(cache_key) if cache_key is not None else None
         if cached is None:
             from raytracer795_tpu.ops import bvh as bvh_mod
             from raytracer795_tpu.ops import pallas_bvh
 
-            pbmin, pbmax = bvh_mod.tri_bounds(vertices, tri["tri_vidx"])
-            flat, perm = bvh_mod.build(pbmin, pbmax)
-            # packed kernel tables, iff they fit the VMEM budget (the
-            # instance cache shares them like the base-mesh BVH itself)
-            pack = pallas_bvh.build_pack(flat, vertices,
-                                         tri["tri_vidx"][perm])
-            if pallas_bvh.pack_nbytes(pack) > pallas_bvh.MAX_PACK_BYTES:
-                pack = None
-            cached = (flat, perm, pack)
+            single_max = int(os.environ.get("RT795_SINGLE_PACK_MAX",
+                                            "120000"))
+            flat = pack = pack_bvhs = perm = None
+            if n <= single_max:     # single pack likely fits VMEM
+                pbmin, pbmax = bvh_mod.tri_bounds(vertices, tri["tri_vidx"])
+                flat, perm = bvh_mod.build(pbmin, pbmax)
+                # packed kernel tables, iff they fit the VMEM budget (the
+                # instance cache shares them like the base-mesh BVH itself)
+                pack = pallas_bvh.build_pack(flat, vertices,
+                                             tri["tri_vidx"][perm])
+                if pallas_bvh.pack_nbytes(pack) > pallas_bvh.MAX_PACK_BYTES:
+                    pack = None
+            if flat is None or (pack is None and n > single_max):
+                # beyond-VMEM group: Morton-partitioned multi-pack with
+                # per-pack BVHs, streamed by the (ray_block, pack) kernel
+                pack, perm, pack_bvhs = pallas_bvh.build_multipack(
+                    vertices, tri["tri_vidx"], bvh_mod.build)
+                flat = None
+            cached = (flat, perm, pack, pack_bvhs)
             if cache_key is not None:
                 _bvh_cache[cache_key] = cached
-        flat, perm, pack = cached
+        flat, perm, pack, pack_bvhs = cached
         tri = {k: v[perm] for k, v in tri.items()}
-        return tri, flat, pack
+        return tri, flat, pack, pack_bvhs
 
     def make_group(name, tri, sph, matrix, blur, has_xform, obj_bbox=None,
                    bvh_key=None):
-        tri, flat_bvh, bvh_pack = maybe_bvh(tri, bvh_key)
+        tri, flat_bvh, bvh_pack, pack_bvhs = maybe_bvh(tri, bvh_key)
         minv = np.linalg.inv(matrix) if has_xform else np.eye(4)
         minv_t = np.linalg.inv(matrix).T if has_xform else np.eye(4)
         if obj_bbox is None or len(obj_bbox) == 0:
@@ -613,7 +623,7 @@ def load_scene(xml_path: str,
             name=name, has_xform=has_xform,
             has_blur=bool(np.any(np.asarray(blur, np.float32) != 0.0)),
             n_tris=len(tri["tri_vidx"]), n_spheres=len(sph["sph_cidx"]),
-            bvh=flat_bvh, bvh_pack=bvh_pack,
+            bvh=flat_bvh, bvh_pack=bvh_pack, pack_bvhs=pack_bvhs,
         )
 
     # merged static group

@@ -187,7 +187,10 @@ class TraceGroup:
     bvh: Any = None         # FlatBVH | None
     # Packed node/triangle tables for the Pallas traversal kernel
     # (ops/pallas_bvh.py); built alongside the BVH when the tables fit VMEM.
-    bvh_pack: Any = None    # pallas_bvh.BVHPack | None
+    # Beyond-VMEM groups carry a pallas_bvh.MultiPack here instead, plus
+    # per-pack flat BVHs (globally-offset prim ids) for the jnp fallback.
+    bvh_pack: Any = None    # pallas_bvh.BVHPack | MultiPack | None
+    pack_bvhs: Any = None   # tuple[FlatBVH, ...] | None (bvh is None then)
 
 
 @_dataclass_pytree(meta=("has_xform",))

@@ -15,22 +15,25 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "..", ".."))
 from raytracer795_tpu.utils import exr  # noqa: E402
 
-H, W = 64, 128
-v = np.linspace(0.0, 1.0, H)[:, None]           # 0 = zenith, 1 = nadir
-u = np.linspace(0.0, 1.0, W)[None, :]
-sky_top = np.array([14.0, 22.0, 48.0])
-sky_bot = np.array([36.0, 34.0, 32.0])
-img = sky_top[None, None] * (1 - v[..., None]) + sky_bot[None, None] * v[..., None]
-# warm sun disc at u=0.25, v=0.3
-du = (u - 0.25)
-dv = (v - 0.3)
-sun = np.exp(-((du / 0.03) ** 2 + (dv / 0.06) ** 2))
-img = img + sun[..., None] * np.array([2400.0, 1800.0, 1000.0])[None, None]
-img = img.astype(np.float32)
-
 here = os.path.dirname(os.path.abspath(__file__))
-exr.write_exr(os.path.join(here, "sky.exr"), img, compression="zip")
-print("wrote sky.exr", img.shape, "max", img.max())
+
+
+def make_sky_exr():
+    H, W = 64, 128
+    v = np.linspace(0.0, 1.0, H)[:, None]       # 0 = zenith, 1 = nadir
+    u = np.linspace(0.0, 1.0, W)[None, :]
+    sky_top = np.array([14.0, 22.0, 48.0])
+    sky_bot = np.array([36.0, 34.0, 32.0])
+    img = (sky_top[None, None] * (1 - v[..., None])
+           + sky_bot[None, None] * v[..., None])
+    # warm sun disc at u=0.25, v=0.3
+    du = (u - 0.25)
+    dv = (v - 0.3)
+    sun = np.exp(-((du / 0.03) ** 2 + (dv / 0.06) ** 2))
+    img = img + sun[..., None] * np.array([2400.0, 1800.0, 1000.0])[None, None]
+    img = img.astype(np.float32)
+    exr.write_exr(os.path.join(here, "sky.exr"), img, compression="zip")
+    print("wrote sky.exr", img.shape, "max", img.max())
 
 
 # ---------------------------------------------------------------------------
@@ -45,8 +48,6 @@ print("wrote sky.exr", img.shape, "max", img.max())
 # ---------------------------------------------------------------------------
 
 def make_rock_ply(path, nu=320, nv=160):
-    import struct
-
     uu = np.linspace(0.0, 2 * np.pi, nu, endpoint=False)
     vv = np.linspace(1e-3, np.pi - 1e-3, nv)
     U, V = np.meshgrid(uu, vv, indexing="ij")
@@ -58,18 +59,22 @@ def make_rock_ply(path, nu=320, nv=160):
                       (R * np.sin(V) * np.sin(U)).ravel()],
                      axis=1).astype("<f4")
 
-    def vid(i, j):
-        return (i % nu) * nv + j
+    # quad grid -> 2 triangles each (vectorized: 1.8M faces in ms)
+    i = np.arange(nu)[:, None]
+    j = np.arange(nv - 1)[None, :]
+    a = (i % nu) * nv + j
+    b = ((i + 1) % nu) * nv + j
+    c = ((i + 1) % nu) * nv + (j + 1)
+    d = (i % nu) * nv + (j + 1)
+    f1 = np.stack([a, b, c], axis=-1).reshape(-1, 3)
+    f2 = np.stack([a, c, d], axis=-1).reshape(-1, 3)
+    faces = np.empty((f1.shape[0] * 2, 3), "<i4")
+    faces[0::2] = f1
+    faces[1::2] = f2
 
-    faces = []
-    for i in range(nu):
-        for j in range(nv - 1):
-            a, b, c, d = vid(i, j), vid(i + 1, j), vid(i + 1, j + 1), \
-                vid(i, j + 1)
-            faces.append((a, b, c))
-            faces.append((a, c, d))
-    faces = np.asarray(faces, "<i4")
-
+    rec = np.zeros(len(faces), dtype=np.dtype([("n", "u1"), ("v", "<i4", 3)]))
+    rec["n"] = 3
+    rec["v"] = faces
     with open(path, "wb") as f:
         f.write(b"ply\nformat binary_little_endian 1.0\n")
         f.write(b"element vertex %d\n" % len(verts))
@@ -78,12 +83,27 @@ def make_rock_ply(path, nu=320, nv=160):
         f.write(b"property list uchar int vertex_indices\n")
         f.write(b"end_header\n")
         f.write(verts.tobytes())
-        body = bytearray()
-        for tri in faces:
-            body += struct.pack("<B3i", 3, *tri)
-        f.write(bytes(body))
+        f.write(rec.tobytes())
     return len(verts), len(faces)
 
 
-nverts, nfaces = make_rock_ply(os.path.join(here, "rock100k.ply"))
-print("wrote rock100k.ply:", nverts, "verts,", nfaces, "tris")
+def ensure_rock(path: str, nu: int, nv: int) -> str:
+    """Generate a procedural rock PLY on demand (deterministic).
+
+    rock100k.ply (320x160) is committed; the dragon-scale rock1800k.ply
+    (1350x668 -> 1,800,900 triangles, ~34 MB — the scale of the reference's
+    flagship dragon, pages/Page2.md:57) is generated here on first use
+    instead of being committed.
+    """
+    if not os.path.exists(path):
+        make_rock_ply(path, nu=nu, nv=nv)
+    return path
+
+
+if __name__ == "__main__":
+    make_sky_exr()
+    nverts, nfaces = make_rock_ply(os.path.join(here, "rock100k.ply"))
+    print("wrote rock100k.ply:", nverts, "verts,", nfaces, "tris")
+    nverts, nfaces = make_rock_ply(os.path.join(here, "rock1800k.ply"),
+                                   nu=1350, nv=668)
+    print("wrote rock1800k.ply:", nverts, "verts,", nfaces, "tris")
