@@ -476,8 +476,9 @@ def _morton3(q: np.ndarray) -> np.ndarray:
     return out
 
 
-def build_multipack(verts: np.ndarray, tri_vidx: np.ndarray,
-                    build_fn) -> Tuple["MultiPack", np.ndarray, tuple]:
+def build_multipack(verts: np.ndarray, tri_vidx: np.ndarray, build_fn,
+                    pack_tris: int | None = None
+                    ) -> Tuple["MultiPack", np.ndarray, tuple]:
     """Partition + per-pack build for a beyond-VMEM triangle group.
 
     Returns (MultiPack, perm, pack_bvhs): ``perm`` is the global triangle
@@ -496,11 +497,13 @@ def build_multipack(verts: np.ndarray, tri_vidx: np.ndarray,
                 1023).astype(np.int32)
     order = np.argsort(_morton3(q), kind="stable").astype(np.int32)
 
-    n_packs = -(-n // PACK_TRIS)
+    if pack_tris is None:
+        pack_tris = PACK_TRIS
+    n_packs = -(-n // pack_tris)
     perm_parts, flats, node_tabs, tri_tabs = [], [], [], []
     start = 0
     for p in range(n_packs):
-        ids = order[p * PACK_TRIS:(p + 1) * PACK_TRIS]
+        ids = order[p * pack_tris:(p + 1) * pack_tris]
         from raytracer795_tpu.ops import bvh as bvh_mod
 
         pbmin, pbmax = bvh_mod.tri_bounds(verts, tri_vidx[ids])

@@ -162,12 +162,20 @@ def apply_textures(scene: T.Scene, det: HitDetails) -> TexturedHit:
                     tex_color = vwhere(use, color, tex_color)
                     tex_norm = jnp.where(use, tex.normalizer, tex_norm)
                 elif decal == T.DECAL_REPLACE_NORMAL:
-                    rn = vnormalize(sample_image(tex, det.u, det.v) / 255.0
-                                    - 0.5)
+                    # masked normalizes: non-``use`` lanes can hold zero
+                    # vectors whose normalize VJP is 0*inf=NaN, poisoning
+                    # texture gradients through the scatter-add (seen on
+                    # TPU bump-grad FD test); forward bits on use lanes
+                    # are unchanged.
+                    rn = vmasked_normalize(
+                        use, sample_image(tex, det.u, det.v) / 255.0 - 0.5)
                     dpdu_s, dpdv_s = _sphere_dp(det)
                     t_vec, b_vec = _tri_tb(det)
-                    tt = vwhere(det.is_sphere, vnormalize(dpdu_s), t_vec)
-                    bb = vwhere(det.is_sphere, vnormalize(dpdv_s), b_vec)
+                    sph = use & det.is_sphere
+                    tt = vwhere(det.is_sphere,
+                                vmasked_normalize(sph, dpdu_s), t_vec)
+                    bb = vwhere(det.is_sphere,
+                                vmasked_normalize(sph, dpdv_s), b_vec)
                     # TBN columns: T, B, N (src/Shape.cpp:438-443,548-553);
                     # sphere T/B are normalized, triangle T/B are NOT.
                     newn = tt * rn.x + bb * rn.y + cur_n * rn.z
@@ -182,7 +190,7 @@ def apply_textures(scene: T.Scene, det: HitDetails) -> TexturedHit:
                     bb = vwhere(det.is_sphere, dpdv_s, b_vec)
                     dpu = tt + cur_n * du
                     dpv = bb + cur_n * dv
-                    newn = vnormalize(vcross(dpv, dpu))
+                    newn = vmasked_normalize(use, vcross(dpv, dpu))
                     # orient along the old normal (src/Shape.cpp:464-471)
                     flip = vdot(cur_n, newn) < 0
                     newn = vwhere(flip, -newn, newn)
@@ -200,7 +208,7 @@ def apply_textures(scene: T.Scene, det: HitDetails) -> TexturedHit:
                     newn = cur_n - (g - g_par) * tex.bump_factor
                     flip = vdot(cur_n, newn) < 0
                     newn = vwhere(flip, -newn, newn)
-                    newn = vnormalize(newn)
+                    newn = vmasked_normalize(use, newn)
                     cur_n = vwhere(use, newn, cur_n)
 
     # world transform of the (possibly rewritten) local normal:

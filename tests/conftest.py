@@ -4,6 +4,11 @@ Pins JAX to an 8-virtual-device CPU mesh BEFORE any backend initializes:
 this container's sitecustomize registers the axon TPU plugin in every
 process and force-selects it, so tests must explicitly reclaim the CPU
 platform (jax.config wins over the plugin's os.environ override).
+
+TPU CI: ``RT795_TPU_TESTS=1 python -m pytest tests -m tpu -q`` keeps the
+real TPU backend and runs the ``tpu``-marked subset (compiled-kernel
+goldens, TPU-only gradients) on the chip. Everything else stays CPU-pinned
+so the suite is deterministic and runnable anywhere.
 """
 
 import os
@@ -14,7 +19,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+TPU_TESTS = os.environ.get("RT795_TPU_TESTS") == "1"
+if not TPU_TESTS:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

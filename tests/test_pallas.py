@@ -110,11 +110,93 @@ def test_pack_prim_ids_cover_all_triangles():
     assert seen.tolist() == list(range(777))
 
 
+@pytest.mark.parametrize("t,n,seed", [(900, 2048, 2)])
+def test_multipack_parity_random_mesh(t, n, seed):
+    """Multi-pack streaming traversal (interp kernel + jnp per-pack
+    fallback) bit-matches the single-tree oracle on a random mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer795_tpu.ops import bvh as bvh_mod
+    from raytracer795_tpu.ops import intersect, pallas_bvh
+
+    verts, tri_vidx = _random_mesh(t, seed)
+    mp, perm, pack_bvhs = pallas_bvh.build_multipack(
+        verts, tri_vidx, bvh_mod.build, pack_tris=128)
+    assert mp.node_rows.shape[0] >= 4
+    tv = tri_vidx[perm]
+    o, d = _random_rays(n, seed + 10)
+    int_eps = jnp.float32(1e-3)
+
+    # oracle: single tree over the SAME (multipack-permuted) order
+    pbmin, pbmax = bvh_mod.tri_bounds(verts, tv)
+    flat1, perm1 = bvh_mod.build(pbmin, pbmax)
+    tv1 = tv[perm1]
+    inv1 = np.empty(t, np.int32)
+    inv1[perm1] = np.arange(t, dtype=np.int32)
+
+    class _Scene:
+        vertices = jnp.asarray(verts)
+
+    _Scene.int_eps = int_eps
+
+    class _G1:
+        bvh = jax.tree_util.tree_map(jnp.asarray, flat1)
+        n_tris = t
+
+    _G1.tri_vidx = jnp.asarray(tv1)
+    rays = intersect.Rays(o=o, d=d, time=jnp.zeros(n))
+    rk, rt, ridx = jax.jit(
+        lambda r: intersect._tri_bvh_candidates(_Scene, _G1, r))(rays)
+
+    key, tt, idx = pallas_bvh.tri_bvh_nearest_multi(
+        mp, o, d, int_eps, interpret=True)
+
+    key, tt, idx = map(np.asarray, (key, tt, idx))
+    rk, rt, ridx = map(np.asarray, (rk, rt, ridx))
+    hit_p, hit_r = key < 1e38, rk < 1e38
+    np.testing.assert_array_equal(hit_p, hit_r)
+    both = hit_p & hit_r
+    # winner may differ only where |t| ties across packs; compare geometry
+    np.testing.assert_allclose(tt[both], rt[both], rtol=1e-6, atol=1e-6)
+    # oracle index i names tv1[i] == tv[perm1[i]]: map to multipack order
+    np.testing.assert_array_equal(idx[both], perm1[ridx[both]])
+
+    # jnp per-pack fallback path
+    class _Gm:
+        bvh = None
+        n_tris = t
+
+    _Gm.tri_vidx = jnp.asarray(tv)
+    fk = jnp.full((n,), 3.0e38)
+    ft = jnp.zeros((n,))
+    fidx = jnp.zeros((n,), jnp.int32)
+    for fb in pack_bvhs:
+        k2, t2, i2 = jax.jit(lambda r, f=fb: intersect._tri_bvh_candidates(
+            _Scene, _Gm, r, flat=f))(rays)
+        upd = k2 < fk
+        ft = jnp.where(upd, t2, ft)
+        fidx = jnp.where(upd, i2, fidx)
+        fk = jnp.minimum(fk, k2)
+    np.testing.assert_array_equal(np.asarray(fk) < 1e38, hit_p)
+    np.testing.assert_array_equal(np.asarray(fidx)[both], idx[both])
+
+    # anyhit parity across all three paths
+    cap = jnp.asarray(
+        np.random.default_rng(seed + 20).uniform(0.1, 5.0, n), jnp.float32)
+    f_multi = np.asarray(pallas_bvh.tri_bvh_anyhit_multi(
+        mp, o, d, cap, int_eps, interpret=True))
+    f_oracle = np.asarray(jax.jit(
+        lambda r: intersect._tri_bvh_anyhit(_Scene, _G1, r, cap))(rays))
+    np.testing.assert_array_equal(f_multi, f_oracle)
+
+
+@pytest.mark.tpu
 @pytest.mark.skipif(
     os.environ.get("RT795_SLOW") != "1"
     and __import__("jax").default_backend() == "cpu",
     reason="rock100k golden via the jnp fallback takes ~4 min on CPU; "
-           "runs by default on TPU (Pallas path), or set RT795_SLOW=1")
+           "runs on TPU (RT795_TPU_TESTS=1 pytest -m tpu) or RT795_SLOW=1")
 def test_golden_rock100k():
     """Dragon-scale golden: 101k-triangle smooth mesh + mirror floor vs the
     compiled reference renderer (pages/Page2.md:57 analogue)."""
