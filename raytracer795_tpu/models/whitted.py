@@ -228,12 +228,16 @@ def _render_machine(scene: T.Scene, rays: intersect.Rays,
     )
 
     # Upper bound on iterations = max nodes of a depth-D binary split tree
-    # when dielectrics can split a lane; a plain chain otherwise.
-    if max_iters is None:
-        if scene.any_dielectric:
-            max_iters = min(2 ** (scene.max_depth + 1), 1024)
-        else:
-            max_iters = scene.max_depth + 1
+    # when dielectrics can split a lane; a plain chain otherwise. The
+    # early-exit while_loop (differentiable=False) always uses this
+    # worst-case bound — a caller-passed max_iters only trims the
+    # fori_loop path, never truncates a forward render.
+    if scene.any_dielectric:
+        worst = min(2 ** (scene.max_depth + 1), 1024)
+    else:
+        worst = scene.max_depth + 1
+    if max_iters is None or not differentiable:
+        max_iters = worst
 
     def cond(s: _State):
         return (s.it < max_iters) & jnp.any(s.active | (s.sp > 0))

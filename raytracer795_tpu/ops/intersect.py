@@ -66,7 +66,10 @@ def _pallas_mode():
         return "off"
     if flag == "interp":
         return "interp"
-    return "on" if jax.default_backend() != "cpu" else "off"
+    # gate on == "tpu" (not != "cpu"): the kernels use TPU-only memory
+    # spaces (pltpu.VMEM/SMEM) and would fail to compile on a GPU backend
+    # instead of falling back to the jnp oracle.
+    return "on" if jax.default_backend() == "tpu" else "off"
 
 
 class Rays(NamedTuple):
@@ -458,6 +461,28 @@ def _tri_bvh_candidates(scene: T.Scene, group: T.TraceGroup, local: Rays,
     return best_key, best_t, best_idx
 
 
+
+def _fresh_pack(scene: T.Scene, group: T.TraceGroup):
+    """Group's kernel pack with tri rows rebuilt from LIVE scene.vertices.
+
+    The load-time pack bakes vertex positions; vertices are trainable
+    (parallel/shard.py differentiable_params), so the kernel would
+    otherwise intersect frozen geometry after any vertex update. Node
+    bounds stay load-time (conservative for small steps — the same
+    staleness class as the jnp path's flat-BVH boxes).
+    """
+    import dataclasses
+
+    from raytracer795_tpu.ops import pallas_bvh
+
+    pk = group.bvh_pack
+    rows = pallas_bvh.fresh_tri_rows(pk.slot_prim, scene.vertices,
+                                     group.tri_vidx)
+    if isinstance(pk, pallas_bvh.MultiPack):
+        return dataclasses.replace(pk, tri_rows=rows)
+    return pk._replace(tri_rows=rows)
+
+
 def trace(scene: T.Scene, rays: Rays) -> Hit:
     """Nearest hit over all groups (world dispatch, src/Helper.cpp:18-80).
 
@@ -493,12 +518,13 @@ def trace(scene: T.Scene, rays: Rays) -> Hit:
             if group.bvh_pack is not None and mode != "off" \
                     and isinstance(group.bvh_pack, pallas_bvh.MultiPack):
                 tk, tt, tidx = pallas_bvh.tri_bvh_nearest_multi(
-                    group.bvh_pack, local.o, local.d, scene.int_eps,
-                    interpret=(mode == "interp"))
+                    _fresh_pack(scene, group), local.o, local.d,
+                    scene.int_eps, interpret=(mode == "interp"))
             elif group.bvh is not None and group.bvh_pack is not None \
                     and mode != "off":
                 tk, tt, tidx = pallas_bvh.tri_bvh_nearest(
-                    group.bvh_pack, local.o, local.d, scene.int_eps,
+                    _fresh_pack(scene, group), local.o, local.d,
+                    scene.int_eps,
                     group.bvh.first.shape[0], group.bvh.max_leaf,
                     interpret=(mode == "interp"))
             elif group.bvh is not None:
@@ -621,12 +647,13 @@ def trace_anyhit(scene: T.Scene, rays: Rays, t_cap) -> jnp.ndarray:
             if group.bvh_pack is not None and mode != "off" \
                     and isinstance(group.bvh_pack, pallas_bvh.MultiPack):
                 found = found | pallas_bvh.tri_bvh_anyhit_multi(
-                    group.bvh_pack, local.o, local.d, t_cap, scene.int_eps,
-                    interpret=(mode == "interp"))
+                    _fresh_pack(scene, group), local.o, local.d, t_cap,
+                    scene.int_eps, interpret=(mode == "interp"))
             elif group.bvh is not None and group.bvh_pack is not None \
                     and mode != "off":
                 found = found | pallas_bvh.tri_bvh_anyhit(
-                    group.bvh_pack, local.o, local.d, t_cap, scene.int_eps,
+                    _fresh_pack(scene, group), local.o, local.d, t_cap,
+                    scene.int_eps,
                     group.bvh.first.shape[0], group.bvh.max_leaf,
                     interpret=(mode == "interp"))
             elif group.bvh is not None:

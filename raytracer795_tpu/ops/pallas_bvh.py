@@ -25,12 +25,18 @@ Semantics are EXACTLY those of the jnp reference path
 test keeps the reference's d == 0 inf/NaN rejection quirk
 (src/BVH.cpp:212-266), |t| ranking with strict-less updates
 (src/BVH.cpp:165-171), the safe ``entry > best`` prune, NaN/zero-direction
-rays dead on arrival (src/Helper.cpp:28-30). Block consensus is sound:
-child boxes are contained in parent boxes (so a lane can never hit a child
-after missing its parent — quirk cases included, they depend only on the
-ray, bounds ordering, and signs), and every per-lane update re-checks that
-lane's own box hit and ranking, so riding along to a node the lane would
-have pruned changes nothing.
+rays dead on arrival (src/Helper.cpp:28-30). Block consensus is sound up
+to one measure-zero corner: child boxes are contained in parent boxes (so
+a lane can never hit a child after missing its parent), and every per-lane
+update re-checks that lane's own box hit and ranking, so riding along to a
+node the lane would have pruned changes nothing. EXCEPTION (documented
+deviation): a lane with a zero direction component whose origin coordinate
+exactly equals a child-box bound (but not the parent's) gets entry = NaN
+-> box_hit = True at the child after cleanly missing the parent, so it can
+ride the block into a subtree the per-lane oracle never visits and accept
+a triangle there. This needs an axis-aligned ray with a vertex-exact
+origin coordinate — measure-zero in float inputs; the per-lane jnp walk
+(and the reference recursion) prune it at the parent.
 
 Scope: both the node and triangle tables must fit VMEM, bounding a single
 group at roughly ~140k triangles (the dragon-class meshes of
@@ -68,14 +74,58 @@ MAX_PACK_BYTES = 12 * 1024 * 1024
 
 
 class BVHPack(NamedTuple):
-    """Device tables for the traversal kernel (a jnp pytree)."""
+    """Device tables for the traversal kernel (a jnp pytree).
+
+    ``tri_rows`` holds the load-time baked triangle components; the trace
+    path instead rebuilds them IN-GRAPH from the live ``scene.vertices``
+    via ``slot_prim`` (fresh_tri_rows) so vertex optimization moves the
+    intersected geometry. Node bounds stay load-time (same staleness class
+    as the flat-BVH boxes of the jnp path: conservative for small vertex
+    steps; rebuild the scene to refit after large moves).
+    """
 
     node_rows: jnp.ndarray      # [M, 128] f32
     tri_rows: jnp.ndarray       # [R, 128] f32
+    slot_prim: jnp.ndarray      # [R, 9] int32 global prim id per slot, -1 pad
 
 
 def pack_nbytes(pack: "BVHPack") -> int:
     return (pack.node_rows.size + pack.tri_rows.size) * 4
+
+
+def fresh_tri_rows(slot_prim, verts, tri_vidx) -> jnp.ndarray:
+    """Rebuild kernel triangle rows from LIVE vertices (in-graph).
+
+    ``slot_prim`` [..., R, 9]: global prim id per row slot (-1 pad). The
+    component math mirrors _tri_comps exactly (same op order -> same bits
+    as the baked tables when vertices are unchanged). [T]-sized work; XLA's
+    loop-invariant code motion hoists it out of the integrator's bounce
+    loop since it depends only on the (loop-invariant) scene.
+    """
+    verts = jnp.asarray(verts)
+    tri_vidx = jnp.asarray(tri_vidx)
+    a = verts[tri_vidx[:, 0]]
+    b = verts[tri_vidx[:, 1]]
+    c = verts[tri_vidx[:, 2]]
+    e1 = a - b
+    e2 = a - c
+    ng = jnp.cross(e1, e2)
+    comp = jnp.concatenate([a, e1, e2, ng], axis=1)     # [T, 12]
+    T_ = comp.shape[0]
+    lead = slot_prim.shape[:-2]
+    sp = slot_prim.reshape((-1, TRIS_PER_ROW))          # [R*, 9]
+    valid = sp >= 0
+    vals = comp[jnp.clip(sp, 0, T_ - 1)]                # [R*, 9, 12]
+    vals = jnp.where(valid[..., None], vals, 0.0)
+    primf = jnp.where(valid, sp, 0).astype(jnp.float32)
+    pieces = []
+    for j in range(TRIS_PER_ROW):
+        pieces.append(vals[:, j])
+        pieces.append(primf[:, j:j + 1])
+    pieces.append(jnp.zeros((sp.shape[0], LANES - TRIS_PER_ROW * COMPS),
+                            jnp.float32))
+    rows = jnp.concatenate(pieces, axis=1)              # [R*, 128]
+    return rows.reshape(lead + (slot_prim.shape[-2], LANES))
 
 
 def _tri_comps(verts: np.ndarray, tri_vidx: np.ndarray) -> np.ndarray:
@@ -128,6 +178,7 @@ def build_pack(flat: T.FlatBVH, verts: np.ndarray, tri_vidx: np.ndarray,
         row_leaf = np.repeat(np.arange(leaf_ids.size), leaf_rows)   # [R]
         row_sub = np.arange(n_rows_total) - row_start[row_leaf]     # [R]
         tri_rows = np.zeros((n_rows_total, LANES), np.float32)
+        slot_prim = np.full((n_rows_total, TRIS_PER_ROW), -1, np.int32)
         r_first = first[leaf_ids][row_leaf]
         r_count = count[leaf_ids][row_leaf]
         for j in range(TRIS_PER_ROW):
@@ -138,9 +189,11 @@ def build_pack(flat: T.FlatBVH, verts: np.ndarray, tri_vidx: np.ndarray,
             tri_rows[:, base:base + 12] = np.where(ok[:, None],
                                                    comp[prim], 0.0)
             tri_rows[:, base + 12] = np.where(ok, prim, 0).astype(np.float32)
+            slot_prim[:, j] = np.where(ok, prim, -1)
             # pad slots keep ng = 0 -> det = 0 -> self-rejecting
     else:
         tri_rows = np.zeros((1, LANES), np.float32)
+        slot_prim = np.full((1, TRIS_PER_ROW), -1, np.int32)
 
     fields = np.zeros((n_nodes, 9), np.float32)
     fields[:, 0:3] = bmin
@@ -154,9 +207,10 @@ def build_pack(flat: T.FlatBVH, verts: np.ndarray, tri_vidx: np.ndarray,
         sl = fields[k::NODES_PER_ROW]
         node_rows[:sl.shape[0], k * NODE_STRIDE:k * NODE_STRIDE + 9] = sl
     if as_arrays:
-        return node_rows, tri_rows
+        return node_rows, tri_rows, slot_prim
     return BVHPack(node_rows=jnp.asarray(node_rows),
-                   tri_rows=jnp.asarray(tri_rows))
+                   tri_rows=jnp.asarray(tri_rows),
+                   slot_prim=jnp.asarray(slot_prim))
 
 
 # --------------------------------------------------------------------------
@@ -460,6 +514,7 @@ class MultiPack:
     node_rows: Any      # [K, NR, 128] f32 (row-padded per pack)
     tri_rows: Any       # [K, TR, 128] f32
     n_nodes: Any        # [K] int32 true node count per pack
+    slot_prim: Any = None   # [K, TR, 9] int32 global prim per slot, -1 pad
     max_leaf: int = 36
 
 
@@ -519,22 +574,27 @@ def build_multipack(verts: np.ndarray, tri_vidx: np.ndarray, build_fn,
     perm = np.concatenate(perm_parts)
     tri_vidx_g = tri_vidx[perm]
     comp = _tri_comps(verts, tri_vidx_g)
+    sp_tabs = []
     for flat in flats:
-        nr, tr = build_pack(flat, verts, tri_vidx_g, comp=comp,
-                            as_arrays=True)
+        nr, tr, sp = build_pack(flat, verts, tri_vidx_g, comp=comp,
+                                as_arrays=True)
         node_tabs.append(nr)
         tri_tabs.append(tr)
+        sp_tabs.append(sp)
 
     NR = max(t.shape[0] for t in node_tabs)
     TR = max(t.shape[0] for t in tri_tabs)
     node_rows = np.zeros((n_packs, NR, LANES), np.float32)
     tri_rows = np.zeros((n_packs, TR, LANES), np.float32)
+    slot_prim = np.full((n_packs, TR, TRIS_PER_ROW), -1, np.int32)
     for p in range(n_packs):
         node_rows[p, :node_tabs[p].shape[0]] = node_tabs[p]
         tri_rows[p, :tri_tabs[p].shape[0]] = tri_tabs[p]
+        slot_prim[p, :sp_tabs[p].shape[0]] = sp_tabs[p]
     mp = MultiPack(
         node_rows=jnp.asarray(node_rows), tri_rows=jnp.asarray(tri_rows),
         n_nodes=jnp.asarray([f.first.shape[0] for f in flats], jnp.int32),
+        slot_prim=jnp.asarray(slot_prim),
         max_leaf=max(int(f.max_leaf) for f in flats))
     return mp, perm, tuple(flats)
 

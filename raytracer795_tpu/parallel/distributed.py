@@ -86,12 +86,17 @@ def render_camera_distributed(loaded: T.LoadedScene, cam_index: int = 0,
     n_dev = mesh.devices.size
     key = jax.random.PRNGKey(seed)
 
-    rays = camera_model.primary_rays(cam)
-    rays, n_lanes = _pad_lanes(rays, n_dev)
+    # bg is computed on the UNPADDED rays (pixel_uv has nx*ny lanes) and
+    # padded alongside them — computing it after padding crashed on
+    # bg-textured scenes whose pixel count isn't divisible by n_dev.
+    rays0 = camera_model.primary_rays(cam)
     bg = _background_radiance(
-        scene, rays, _pixel_uv(cam.nx, cam.ny, 1), True)
-    # NaN pad lanes would poison [N,3]-shaped bg math; scrub to zeros
-    bga = jnp.nan_to_num(bg.to_array().reshape(-1, 3)[:rays.o.x.shape[0]])
+        scene, rays0, _pixel_uv(cam.nx, cam.ny, 1), True)
+    bga = jnp.nan_to_num(bg.to_array().reshape(-1, 3))
+    rays, n_lanes = _pad_lanes(rays0, n_dev)
+    pad = rays.o.x.shape[0] - n_lanes
+    if pad:
+        bga = jnp.concatenate([bga, jnp.zeros((pad, 3), bga.dtype)])
 
     img = par.render_rays_sharded(scene, rays, bga, key, mesh)
 
