@@ -65,6 +65,7 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
 
     del img
+    render_mod.log_render_stats(scene, loaded.cameras[0], best, SPP)
     value = rays_per_frame / best
     print(json.dumps({
         "metric": f"rays/s/chip (Cornell path trace {RES}x{RES} {SPP}spp, "

@@ -49,6 +49,7 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
 
     del img
+    render_mod.log_render_stats(scene, loaded.cameras[0], best, 1)
     value = rays_per_frame / best
     print(json.dumps({
         "metric": f"rays/s/chip (rock100k {n_tris} tris, Whitted {RES}x{RES}"

@@ -37,6 +37,7 @@ Semantics:
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -65,6 +66,7 @@ class _PTState(NamedTuple):
     time: jnp.ndarray       # [N]
     tput: Vec3
     sigma: Vec3             # Beer coefficient for current segment
+    pixel: jnp.ndarray      # [N] output slot of this lane (compaction)
     radiance: Vec3
     key: jax.Array
 
@@ -221,8 +223,20 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
         tput=Vec3.ones((N,)),
         sigma=Vec3.zeros((N,)),
         radiance=Vec3.zeros((N,)),
+        pixel=jnp.arange(N, dtype=jnp.int32),
         key=key,
     )
+    # Stream-compaction experiment (SURVEY §5 long-context analogue / the
+    # Phase-3 mitigation list): sort lanes by liveness after each bounce so
+    # dead lanes cluster into whole traversal-kernel blocks (which early-
+    # exit at the root). MEASURED on v5e (RT795_PT_COMPACT=1), same run,
+    # back to back: bench.py (Cornell 800^2 4spp depth 6) 49.5M rays/s
+    # uncompacted vs 10.2M compacted — a 4.9x SLOWDOWN. All shading/sweep
+    # math is full-width masked ops regardless of lane order, so the ~17
+    # per-bounce [N]-lane argsort+gathers are pure overhead; on the
+    # kernel path dead blocks already early-exit at the root for ~free.
+    # Verdict: documented and NOT adopted (default off).
+    compact = os.environ.get("RT795_PT_COMPACT") == "1"
 
     def bounce(i, s: _PTState) -> _PTState:
         k_iter = jax.random.fold_in(s.key, i)
@@ -344,7 +358,7 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
             tput = vwhere(apply_rr & live, tput * (1.0 / q), tput)
             cont = jnp.where(apply_rr, cont & live, cont)
 
-        return _PTState(
+        ns = _PTState(
             active=cont,
             count_emission=count_next,
             o=vwhere(cont, new_o, s.o),
@@ -353,8 +367,15 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
             tput=tput,
             sigma=vwhere(cont, sigma_next, s.sigma),
             radiance=radiance,
+            pixel=s.pixel,
             key=s.key,
         )
+        if compact:
+            perm = jnp.argsort(~ns.active, stable=True)
+            ns = jax.tree_util.tree_map(
+                lambda x: x[perm]
+                if getattr(x, "ndim", 0) >= 1 and x.shape[0] == N else x, ns)
+        return ns
 
     # Without RR the loop runs exactly max_bounces; with RR lanes die early
     # but the bound is the same (the RR kill only shortens work, and the
@@ -363,4 +384,7 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
     # wavefront intermediate.
     bounce_ckpt = jax.checkpoint(bounce, static_argnums=())
     final = jax.lax.fori_loop(0, max_bounces, bounce_ckpt, state)
-    return final.radiance.to_array()
+    out = final.radiance.to_array()
+    if compact:        # un-permute lanes back to pixel order
+        out = jnp.zeros_like(out).at[final.pixel].set(out)
+    return out

@@ -193,10 +193,16 @@ def forward_iteration_count(scene: T.Scene, rays: intersect.Rays,
     the continuous scene parameters, so the measured trip stays valid under
     the infinitesimal perturbations gradients (and FD checks) probe.
     """
-    final = jax.jit(
-        lambda sc, r, bg, k: _render_machine(sc, r, bg, k, False, None).it
-    )(scene, rays, bg_radiance, key)
-    return int(final)
+    return int(_iter_count_jit(scene, rays, bg_radiance, key))
+
+
+@jax.jit
+def _iter_count_jit(scene, rays, bg_radiance, key):
+    # module-level jit: a fresh ``jax.jit(lambda ...)`` per call would miss
+    # the cache every time (function identity keys it) and recompile the
+    # whole forward machine — measured as most of the train-step tests'
+    # runtime.
+    return _render_machine(scene, rays, bg_radiance, key, False, None).it
 
 
 def _render_machine(scene: T.Scene, rays: intersect.Rays,

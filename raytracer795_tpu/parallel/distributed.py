@@ -7,17 +7,16 @@ parallel/shard.py's SPMD render:
 - ``initialize()`` wires the JAX distributed runtime (one process per host,
   all chips of all hosts become ``jax.devices()``); single-process runs are
   a no-op so every entry point works unchanged on one box.
-- ``render_camera_distributed()`` renders one camera with the flat
-  pixel/sample lane axis sharded over EVERY device of every host: each
-  process launches the same SPMD program, computes only its addressable
-  shard of the film, and host 0 assembles the full image via a
-  process-level allgather (the collectives ride ICI within a host's chips
-  and DCN across hosts — XLA inserts them from the shard_map specs).
-
-Work splits lane-contiguously (block sharding): wavefront lanes cost
-near-uniform time (fixed-depth masked math), so block tiles keep the film
-assembly a reshape — the same reasoning as shard.py vs the reference's
-modulo interleave (pages/Page3.md:101).
+- ``render_camera_distributed()`` renders one camera over all hosts with
+  two nested levels of data parallelism: row BANDS interleave over
+  processes modulo the process count (the reference's thread-modulo
+  load-balance insight, pages/Page3.md:101, lifted to hosts), and within
+  an owned band the lanes shard over that process' local chips via
+  shard_map (ICI). The forward render needs no cross-chip collectives at
+  all; the per-process films are summed by one process-level allgather at
+  the end (DCN, host-driven). Banding, sample chunking, and accumulation
+  are render.render_camera's single code path (launcher hook) — full
+  multisampling and lane-budget tiling included.
 """
 
 from __future__ import annotations
@@ -30,7 +29,7 @@ import numpy as np
 
 from raytracer795_tpu.models import camera as camera_model
 from raytracer795_tpu.parallel import shard as par
-from raytracer795_tpu.render import _background_radiance, _pixel_uv
+from raytracer795_tpu.render import _background_radiance
 from raytracer795_tpu.scene import types as T
 
 
@@ -69,43 +68,115 @@ def _pad_lanes(rays, multiple: int):
     return jax.tree_util.tree_map(padf, rays), n
 
 
+def _sharded_launchers(mesh, pid: int, nproc: int):
+    """Band launchers for render.render_camera with two levels of
+    parallelism: bands interleave over PROCESSES modulo the process count
+    (the reference's thread-modulo load-balance insight, pages/Page3.md:101,
+    lifted to hosts), and within an owned band the lanes shard over this
+    process' device mesh (shard.render_rays_sharded). Non-owned bands
+    return zeros without touching a device; the caller sums the per-process
+    films (one process-level allgather at the end — the forward render
+    needs NO cross-chip collectives, film assembly is host work).
+
+    Sampler-key semantics match render.py's launchers exactly EXCEPT the
+    per-device fold_in inside render_rays_sharded — deterministic scenes
+    (no stochastic shading draws) are bit-identical to the single-process
+    unsharded render.
+    """
+    from raytracer795_tpu.render import _band_px_py, _integrator  # noqa: F401
+
+    n_dev = mesh.devices.size
+    seen = {}
+
+    def owner(row0: int) -> int:
+        if row0 not in seen:
+            seen[row0] = len(seen)
+        return seen[row0] % nproc
+
+    def run(scene, rays, bga, key):
+        rays, n = _pad_lanes(rays, n_dev)
+        pad = rays.o.x.shape[0] - n
+        if pad:
+            bga = jnp.concatenate([bga, jnp.zeros((pad, 3), bga.dtype)])
+        img = par.render_rays_sharded(scene, rays, bga, key, mesh)
+        return np.asarray(img)[:n]
+
+    def single(scene, cam, key, row0, n_rows):
+        if owner(int(row0)) != pid:
+            return np.zeros((n_rows * cam.nx, 3), np.float32)
+        px, py = _band_px_py(cam, row0, n_rows)
+        rays = camera_model.primary_rays_at(cam, px, py)
+        uv = (px.astype(jnp.float32) / cam.nx,
+              py.astype(jnp.float32) / cam.ny)
+        bg = _background_radiance(scene, rays, uv, True)
+        bga = jnp.nan_to_num(bg.to_array().reshape(-1, 3))
+        return run(scene, rays, bga, key)
+
+    def sample_range(scene, cam, key, base, count, row0, n_rows):
+        if owner(int(row0)) != pid:
+            return np.zeros((n_rows * cam.nx, 3), np.float32)
+        if n_rows < cam.ny:
+            key = jax.random.fold_in(key, row0)
+        px, py = _band_px_py(cam, row0, n_rows)
+        rays = camera_model.sample_rays_at(cam, key, px, py, base, count)
+        uv = (jnp.repeat(px.astype(jnp.float32) / cam.nx, count),
+              jnp.repeat(py.astype(jnp.float32) / cam.ny, count))
+        bg = _background_radiance(scene, rays, uv, False)
+        bga = jnp.nan_to_num(bg.to_array().reshape(-1, 3))
+        out = run(scene, rays, bga, key)
+        return out.reshape(-1, count, 3).mean(axis=1)
+
+    return single, sample_range
+
+
 def render_camera_distributed(loaded: T.LoadedScene, cam_index: int = 0,
-                              seed: int = 0, mesh=None) -> np.ndarray:
+                              seed: int = 0, mesh=None,
+                              spp: int | None = None) -> np.ndarray:
     """Render one camera over all devices of all processes -> [ny, nx, 3].
 
-    Every process returns the fully assembled film (an allgather of the
-    per-device tiles); on a single process this degenerates to the local
-    sharded render. Single-spp center-ray sampling (the reference's
-    SingleSample contract); the spp axis is folded into lanes by callers
-    that need it, exactly as render.py does.
+    Reuses render.render_camera's band/chunk/accumulate machinery via its
+    launcher hook (full multisampling + row-band tiling — no duplicated
+    1-spp path): each process renders its modulo-interleaved share of the
+    row bands on its LOCAL device mesh, then one process-level allgather
+    sums the per-process films on every host. On a single process this
+    degenerates to the local sharded render.
     """
-    scene = loaded.scene
-    cam = loaded.cameras[cam_index]
+    from raytracer795_tpu import render as render_mod
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
     if mesh is None:
-        mesh = par.make_ray_mesh()
-    n_dev = mesh.devices.size
-    key = jax.random.PRNGKey(seed)
-
-    # bg is computed on the UNPADDED rays (pixel_uv has nx*ny lanes) and
-    # padded alongside them — computing it after padding crashed on
-    # bg-textured scenes whose pixel count isn't divisible by n_dev.
-    rays0 = camera_model.primary_rays(cam)
-    bg = _background_radiance(
-        scene, rays0, _pixel_uv(cam.nx, cam.ny, 1), True)
-    bga = jnp.nan_to_num(bg.to_array().reshape(-1, 3))
-    rays, n_lanes = _pad_lanes(rays0, n_dev)
-    pad = rays.o.x.shape[0] - n_lanes
-    if pad:
-        bga = jnp.concatenate([bga, jnp.zeros((pad, 3), bga.dtype)])
-
-    img = par.render_rays_sharded(scene, rays, bga, key, mesh)
-
-    if jax.process_count() > 1:
+        mesh = par.make_ray_mesh(local=True)
+    film = render_mod.render_camera(
+        loaded, cam_index, seed=seed, spp=spp,
+        _launchers=_sharded_launchers(mesh, pid, nproc))
+    if nproc > 1:
         from jax.experimental import multihost_utils
 
-        img = multihost_utils.process_allgather(img, tiled=True)
-    film = np.asarray(img)[:n_lanes].reshape(cam.ny, cam.nx, 3)
+        # Coordination-service barrier BEFORE the allgather: each process
+        # compiles only its own bands, so arrival skew can exceed the CPU
+        # collective backend's 30 s rendezvous timeout (observed: 80 s on a
+        # cold compile). The barrier rides the distributed KV service (no
+        # device collectives) and waits arbitrarily long.
+        _coordination_barrier()
+        film = np.asarray(multihost_utils.process_allgather(film)).sum(0)
     return film
+
+
+_BARRIER_N = [0]
+
+
+def _coordination_barrier(timeout_ms: int = 60 * 60 * 1000) -> None:
+    """Host-level barrier via the jax.distributed coordination service."""
+    try:
+        from jax._src import distributed as _dist
+
+        client = _dist.global_state.client
+        if client is not None:
+            _BARRIER_N[0] += 1
+            client.wait_at_barrier(f"rt795_film_{_BARRIER_N[0]}", timeout_ms)
+    except Exception:
+        pass        # best-effort: the allgather itself still synchronizes
 
 
 def main(argv=None):
@@ -124,13 +195,16 @@ def main(argv=None):
     ap.add_argument("scene")
     ap.add_argument("-o", "--out-dir", default=".")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--spp", type=int, default=None,
+                    help="override NumSamples for every camera")
     args = ap.parse_args(argv)
 
     pid = initialize()
     loaded = load_scene(args.scene)
     os.makedirs(args.out_dir, exist_ok=True)
     for i, cam in enumerate(loaded.cameras):
-        film = render_camera_distributed(loaded, i, seed=args.seed)
+        film = render_camera_distributed(loaded, i, seed=args.seed,
+                                         spp=args.spp)
         if pid == 0:
             path = os.path.join(args.out_dir, cam.image_name)
             image_io.save_image(path, film)

@@ -43,9 +43,13 @@ from raytracer795_tpu.scene import types as T
 RAY_AXIS = "rays"
 
 
-def make_ray_mesh(n_devices: int | None = None) -> Mesh:
-    """1-D device mesh over the ray/pixel batch axis."""
-    devs = jax.devices()
+def make_ray_mesh(n_devices: int | None = None, local: bool = False) -> Mesh:
+    """1-D device mesh over the ray/pixel batch axis.
+
+    ``local=True`` uses only this process' addressable devices (the
+    multi-host renderer shards bands per process, distributed.py).
+    """
+    devs = jax.local_devices() if local else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (RAY_AXIS,))
@@ -103,21 +107,34 @@ def render_rays_sharded(scene: T.Scene, rays: intersect.Rays,
     Lane count must be divisible by the mesh size (callers pad; dead lanes
     are free — they are masked math in the wavefront loop).
     """
-    integrator = _integrator(scene)
+    return _cached_render_fn(mesh, scene.renderer)(scene, rays, bg_radiance,
+                                                   key)
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(_replicated_like(scene), _lane_sharded_like(rays),
-                  P(RAY_AXIS), P()),
-        out_specs=P(RAY_AXIS),
-        check_rep=False,
-    )
+
+@functools.lru_cache(maxsize=64)
+def _cached_render_fn(mesh: Mesh, renderer: str):
+    """Cached jitted sharded forward render (see _cached_loss_grads_fn for
+    why the closure must not be rebuilt per call)."""
+    def integrator(scene_, *a):
+        if renderer == "pathtracing":
+            return path_tracer.render_rays(scene_, *a)
+        return whitted.render_rays(scene_, *a, differentiable=False)
+
     def shard_render(scene_, rays_, bg_, key_):
         # decorrelate each chip's sampler streams
         key_ = jax.random.fold_in(key_, jax.lax.axis_index(RAY_AXIS))
         return integrator(scene_, rays_, bg_, key_)
 
-    return jax.jit(shard_render)(scene, rays, bg_radiance, key)
+    smapped = shard_map(
+        shard_render, mesh=mesh,
+        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=P(RAY_AXIS),
+        check_rep=False,
+    )
+    repl = NamedSharding(mesh, P())
+    lane = NamedSharding(mesh, P(RAY_AXIS))
+    return jax.jit(smapped, in_shardings=(repl, lane, lane, repl),
+                   out_shardings=lane)
 
 
 # --------------------------------------------------------------------------
@@ -209,19 +226,51 @@ def train_step_with_grads(scene: T.Scene, rays: intersect.Rays,
     params = differentiable_params(scene)
     if whitted_iters is None:
         whitted_iters = resolve_whitted_iters(scene, rays, bg_radiance, key)
-    integrator = _integrator(scene, differentiable=True,
-                             whitted_iters=whitted_iters)
-    n_total = rays.o.shape[0]
+    fn = _cached_loss_grads_fn(mesh, whitted_iters, scene.renderer)
+    loss, grads = fn(params, scene, rays, bg_radiance, target, key)
+    # lr may be a scalar or a {param name: scalar} dict (params live on very
+    # different scales: vertex grads at silhouettes dwarf material grads)
+    def rate(name):
+        return lr.get(name, 0.0) if isinstance(lr, dict) else lr
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(_replicated_like(params), _replicated_like(scene),
-                  _lane_sharded_like(rays), P(RAY_AXIS), P(RAY_AXIS), P()),
-        out_specs=(P(), _replicated_like(params)),
-        check_rep=False,
-    )
+    # Normalize the shard_map outputs to plain host arrays before the SGD
+    # update: they carry the mesh's Auto axis context in their aval, and
+    # feeding context-typed params back in would miss the jit cache and
+    # recompile the whole backward program on the SECOND step (measured
+    # ~80 s/step on CPU). Parameter tables are small next to a render.
+    grads_h = jax.device_get(grads)
+    params_h = jax.device_get(params)
+    new_params = {
+        name: jax.tree.map(lambda p_, g_: p_ - rate(name) * g_,
+                           params_h[name], grads_h[name])
+        for name in params
+    }
+    return loss, grads, scene_with_params(scene, new_params)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_loss_grads_fn(mesh: Mesh, whitted_iters, renderer: str):
+    """Build + cache the jitted sharded loss/grad program.
+
+    jax.jit keys its cache on the FUNCTION OBJECT; defining the shard_map'd
+    closure inside train_step_with_grads recompiled the full backward
+    render on every optimizer step (~2 min each on CPU). Caching on
+    (mesh, trip count, renderer) makes repeated steps hit the compiled
+    program — scene/params enter as arguments (pytree-prefix specs), so
+    parameter VALUES never key the cache and jit still distinguishes
+    different scene structures.
+    """
+    def integrator(scene_, *a, **k):
+        if renderer == "pathtracing":
+            return path_tracer.render_rays(scene_, *a, **k)
+        return whitted.render_rays(scene_, *a, differentiable=True,
+                                   max_iters=whitted_iters, **k)
+
+    n_dev = int(mesh.devices.size)
+
     def shard_loss_grads(params_, scene_, rays_, bg_, target_, key_):
         key_ = jax.random.fold_in(key_, jax.lax.axis_index(RAY_AXIS))
+        n_total = rays_.o.shape[0] * n_dev      # rays_ is the local shard
 
         def loss_fn(p):
             sc = scene_with_params(scene_, p)
@@ -233,19 +282,20 @@ def train_step_with_grads(scene: T.Scene, rays: intersect.Rays,
         grads = jax.tree.map(lambda g: jax.lax.psum(g, RAY_AXIS), grads)
         return loss, grads
 
-    loss, grads = jax.jit(shard_loss_grads)(params, scene, rays, bg_radiance,
-                                            target, key)
-    # lr may be a scalar or a {param name: scalar} dict (params live on very
-    # different scales: vertex grads at silhouettes dwarf material grads)
-    def rate(name):
-        return lr.get(name, 0.0) if isinstance(lr, dict) else lr
-
-    new_params = {
-        name: jax.tree.map(lambda p_, g_: p_ - rate(name) * g_,
-                           params[name], grads[name])
-        for name in params
-    }
-    return loss, grads, scene_with_params(scene, new_params)
+    smapped = shard_map(
+        shard_loss_grads, mesh=mesh,
+        in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    # Explicit in_shardings: step 0 feeds uncommitted host arrays, step 1
+    # feeds the previous step's committed replicated outputs — without
+    # pinned shardings that difference recompiled the program once more.
+    repl = NamedSharding(mesh, P())
+    lane = NamedSharding(mesh, P(RAY_AXIS))
+    return jax.jit(smapped,
+                   in_shardings=(repl, repl, lane, lane, lane, repl),
+                   out_shardings=(repl, repl))
 
 
 def shard_rays(rays: intersect.Rays, mesh: Mesh) -> intersect.Rays:

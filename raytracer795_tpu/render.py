@@ -219,12 +219,17 @@ class FilmCheckpoint:
 def render_camera(loaded: T.LoadedScene, cam_index: int = 0,
                   seed: int = 0, spp: int | None = None,
                   checkpoint: FilmCheckpoint | None = None,
-                  _abort_after_saves: int | None = None) -> np.ndarray:
+                  _abort_after_saves: int | None = None,
+                  _launchers=None) -> np.ndarray:
     """Render one camera to a [ny, nx, 3] float32 raw-radiance image.
 
     ``checkpoint`` enables periodic film checkpointing + resume (see
     FilmCheckpoint). ``_abort_after_saves`` is a test hook simulating a
     mid-render kill: raises KeyboardInterrupt after that many saves.
+    ``_launchers`` optionally overrides the per-band launch functions with
+    ``(single, sample_range)`` of the same signatures — the multi-host
+    renderer (parallel/distributed.py) injects sharded launches here so
+    banding/chunking/accumulation/checkpointing stay this one code path.
     """
     scene = loaded.scene
     cam = loaded.cameras[cam_index]
@@ -235,6 +240,8 @@ def render_camera(loaded: T.LoadedScene, cam_index: int = 0,
         cam = T.Camera(**{**cam.__dict__, "num_samples": spp, "grid": g})
     key = jax.random.PRNGKey(seed)
     fcam = _HashableCamera(cam)
+    launch_single, launch_range = _launchers or (_render_single,
+                                                 _render_sample_range)
 
     # Row-band tiling keeps every launch under the lane budget even when a
     # single 1-spp frame exceeds it (e.g. 1600x1600); the band height is
@@ -256,11 +263,12 @@ def render_camera(loaded: T.LoadedScene, cam_index: int = 0,
 
     if cam.num_samples <= 1:
         if band >= cam.ny and checkpoint is None:
-            return unswz(cam.ny, _render_single(scene, fcam, key, 0, cam.ny))
+            return unswz(cam.ny,
+                         launch_single(scene, fcam, key, 0, cam.ny))
         outs = []
         for row0 in range(0, cam.ny, band):
             rows = min(band, cam.ny - row0)
-            img = _render_single(scene, fcam, key, row0, rows)
+            img = launch_single(scene, fcam, key, row0, rows)
             _host_async(img)
             outs.append((row0, rows, img))
         film = np.empty((cam.ny, cam.nx, 3), np.float32)
@@ -297,7 +305,7 @@ def render_camera(loaded: T.LoadedScene, cam_index: int = 0,
             else jnp.zeros((rows * cam.nx, 3), jnp.float32)
         while done < total:
             s = min(chunk, total - done)
-            img = _render_sample_range(
+            img = launch_range(
                 scene, fcam, jax.random.fold_in(key, done), done, s,
                 row0, rows)
             acc = acc + img * jnp.float32(s)
@@ -324,6 +332,70 @@ def render_camera(loaded: T.LoadedScene, cam_index: int = 0,
     if checkpoint is not None:
         checkpoint.save(cam, seed, film_sum, counts, cam.ny, force=True)
     return film_sum / float(total)
+
+
+def scene_stats(scene: T.Scene) -> dict:
+    """Structured scene statistics (SURVEY §5 metrics/observability row):
+    primitive counts, acceleration-structure shape, kernel-table bytes."""
+    from raytracer795_tpu.ops import pallas_bvh
+
+    tris = sum(g.n_tris for g in scene.groups)
+    spheres = sum(g.n_spheres for g in scene.groups)
+    nodes = 0
+    packs = 0
+    pack_bytes = 0
+    for g in scene.groups:
+        if g.bvh is not None:
+            nodes += int(np.asarray(g.bvh.first).shape[0])
+        if g.pack_bvhs is not None:
+            nodes += sum(int(np.asarray(f.first).shape[0])
+                         for f in g.pack_bvhs)
+        pk = g.bvh_pack
+        if pk is None:
+            continue
+        if isinstance(pk, pallas_bvh.MultiPack):
+            packs += int(pk.node_rows.shape[0])
+            pack_bytes += pallas_bvh.multipack_nbytes(pk)
+        else:
+            packs += 1
+            pack_bytes += pallas_bvh.pack_nbytes(pk)
+    n_lights = int(scene.lights.point_pos.shape[0]
+                   + scene.lights.dir_dir.shape[0]
+                   + scene.lights.spot_pos.shape[0]
+                   + scene.lights.area_pos.shape[0]) \
+        + (1 if scene.env_texture >= 0 else 0)
+    return {
+        "renderer": scene.renderer, "max_depth": int(scene.max_depth),
+        "tris": int(tris), "spheres": int(spheres),
+        "groups": len(scene.groups), "bvh_nodes": int(nodes),
+        "kernel_packs": packs,
+        "pack_mb": round(pack_bytes / 1e6, 2),
+        "lights": n_lights, "textures": int(scene.n_textures),
+    }
+
+
+def log_render_stats(scene: T.Scene, cam: T.Camera, seconds: float,
+                     spp: int | None = None, stream=None) -> dict:
+    """Emit ONE structured log line per render to stderr (never stdout —
+    bench.py's contract is a single JSON result line there)."""
+    import json
+    import sys
+
+    spp = spp or cam.num_samples
+    lanes = cam.nx * cam.ny * spp
+    # device-throughput ray accounting as in bench.py: every lane runs
+    # max_depth bounces; each traces 1 extension + 1 occlusion per light
+    st = scene_stats(scene)
+    rays = lanes * st["max_depth"] * (1 + st["lights"])
+    rec = {
+        "event": "render", "image": cam.image_name,
+        "res": [cam.nx, cam.ny], "spp": spp,
+        "seconds": round(seconds, 3),
+        "rays_per_s": round(rays / max(seconds, 1e-9), 1),
+        **st,
+    }
+    print(json.dumps(rec), file=stream or sys.stderr)
+    return rec
 
 
 def render_scene(loaded: T.LoadedScene, out_dir: str = ".",
@@ -358,6 +430,7 @@ def render_scene(loaded: T.LoadedScene, out_dir: str = ".",
         image_io.save_image(path, img)
         print(f"[raytracer795_tpu] {cam.image_name}: {cam.nx}x{cam.ny} "
               f"spp={spp or cam.num_samples} in {dt:.3f}s")
+        log_render_stats(loaded.scene, cam, dt, spp)
         paths.append(path)
     return paths
 
