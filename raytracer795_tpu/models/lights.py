@@ -95,7 +95,14 @@ def _occluded(scene: T.Scene, sp: ShadePoint, direction: Vec3, d_light=None):
     semantics. ``d_light=None`` means any hit occludes (directional).
     """
     eps = scene.shadow_eps
+    # lanes with no valid shade point (misses, idle wavefront lanes) carry
+    # finite garbage geometry — their shadow rays would walk the BVH for
+    # nothing. A zero direction kills them at kernel entry (idle blocks
+    # exit immediately) while staying finite for reverse mode; the result
+    # is masked by sp.valid downstream anyway.
     o = jax.tree_util.tree_map(_sg, sp.point + sp.normal * eps)
+    zero = Vec3.zeros(sp.time.shape)
+    direction = vwhere(sp.valid, direction, zero)
     if d_light is None:
         t_cap = jnp.float32(3.0e38)
     else:

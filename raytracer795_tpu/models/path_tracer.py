@@ -240,7 +240,11 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
 
     def bounce(i, s: _PTState) -> _PTState:
         k_iter = jax.random.fold_in(s.key, i)
-        wrays = intersect.Rays(o=s.o, d=s.d, time=s.time)
+        # dead lanes keep their last ray — zero their direction so the
+        # traversal kernels retire them at entry (idle blocks early-exit)
+        # while reverse mode stays finite (see whitted.py)
+        d_t = vwhere(s.active, s.d, Vec3.zeros((N,)))
+        wrays = intersect.Rays(o=s.o, d=d_t, time=s.time)
         hit = intersect.trace(scene, wrays)
         hit_valid = hit.valid & s.active
         det = intersect.hit_details(scene, wrays, hit, vertex_normals)

@@ -271,7 +271,14 @@ def _render_machine(scene: T.Scene, rays: intersect.Rays,
             sp, active = s.sp, s.active
 
         # ---- wavefront trace ----
-        wrays = intersect.Rays(o=o, d=d, time=s.time)
+        # idle lanes still carry their LAST ray and would re-walk the BVH
+        # with it every iteration. A zero DIRECTION retires them at kernel
+        # entry (whole idle blocks early-exit) and in the jnp fallback,
+        # while keeping every quantity finite for reverse mode (a NaN here
+        # leaks through 0*NaN partials into parameter gradients).
+        zero = Vec3.zeros((N,))
+        d_t = vwhere(active, d, zero)
+        wrays = intersect.Rays(o=o, d=d_t, time=s.time)
         hit = intersect.trace(scene, wrays)
         hit_valid = hit.valid & active
         det = intersect.hit_details(scene, wrays, hit, vertex_normals)

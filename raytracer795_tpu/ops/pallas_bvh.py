@@ -59,11 +59,17 @@ TRIS_PER_ROW = 9
 COMPS = 13              # ax ay az e1x.. e2x.. ngx ngy ngz prim_id
 NODES_PER_ROW = 2
 NODE_STRIDE = 64
-BLOCK_ROWS = 32         # rays per block = BLOCK_ROWS x 128; measured on the
-#                         rock100k frame: 8 rows 105 ms, 16 -> 72, 32 -> 60,
-#                         64 -> 59 (512^2 rays) — the scalar node walk
-#                         amortizes across lanes until the block's node
-#                         union saturates the tree
+# rays per block = BLOCK_ROWS x 128. With tile-swizzled lanes
+# (camera.band_pixels) a 32-row block is one 64x64 pixel tile; measured on
+# the rock100k frame: 16 rows ~= 32 > 64 (post-swizzle bench sweep) — the
+# scalar node walk amortizes across lanes until the block's node union
+# saturates the tree. RT795_BLOCK_ROWS overrides for tuning.
+# NEGATIVE RESULT (measured, not adopted): gating each 9-triangle row's
+# ~270-op test block behind a ~35-op row-bbox slab made the kernel ~10%
+# SLOWER on rock100k primaries+shadows (58 vs 52 ms / 106 vs 96 ms) — the
+# tile-swizzled block unions are tight enough that visited rows almost
+# always have a live lane, so the gate only adds overhead.
+BLOCK_ROWS = int(os.environ.get("RT795_BLOCK_ROWS", "0")) or 32
 LANES = 128
 BLOCK = BLOCK_ROWS * LANES
 _BIG = 3.0e38   # plain float: a jnp scalar would be a captured kernel const
