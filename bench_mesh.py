@@ -1,13 +1,18 @@
-"""Dragon-scale benchmark: rays/sec through the Pallas BVH kernel.
+"""Dragon-scale benchmark: rays/sec through the Pallas BVH kernels.
 
-Prints ONE JSON line like bench.py, for the 101k-triangle rock100k scene
-(Whitted, depth 2, two point lights — so each frame traces one nearest-hit
-wavefront plus two any-hit shadow wavefronts per depth). The reference
-analogue is the hw2 dragon result (pages/Page2.md:57: 1.8M tris in 2.756 s
-on 8 CPU threads). ``vs_baseline`` compares against the same chip target as
-bench.py (north star 100M rays/s per v5e host / 8 chips).
+Prints TWO JSON lines like bench.py's:
+  1. the 101k-triangle rock100k scene (single VMEM pack),
+  2. the 1,800,900-triangle rock1800k scene (multi-pack HBM streaming —
+     the scale of the reference's flagship dragon, pages/Page2.md:57:
+     1.8M tris in 2.756 s on the author's laptop; the compiled reference
+     renders our rock1800k scene in 7.2 s on this box).
+Each frame traces one nearest-hit wavefront plus two any-hit shadow
+wavefronts per depth (Whitted, depth 2, two point lights).
+``vs_baseline`` compares against the same chip target as bench.py (north
+star 100M rays/s per v5e host / 8 chips).
 
-Run: python bench_mesh.py   (BENCH_RES overrides the 800x800 default)
+Run: python bench_mesh.py   (BENCH_RES overrides the 800x800 default;
+BENCH_DRAGON=0 skips the 1.8M scene)
 """
 
 from __future__ import annotations
@@ -15,50 +20,70 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import sys
 import time
 
 import jax
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SCENE = os.path.join(_HERE, "tests", "scenes", "rock100k.xml")
+_SCENES = os.path.join(_HERE, "tests", "scenes")
 
 RES = int(os.environ.get("BENCH_RES", "800"))
+# spp amortizes the per-frame film transfer (fixed bytes) over 4x the
+# traced rays — the reference's own dragon-class workloads are 100 spp
+# (pages/Page3.md:77); at 1 spp this box's slow device->host tunnel
+# (~10-25 MB/s), not the chip, bounds the measurement.
+SPP = int(os.environ.get("BENCH_SPP", "4"))
 CHIP_BASELINE_RAYS_PER_S = 100e6 / 8.0
 
 
-def main() -> None:
+def bench_scene(xml_name: str, label: str, res: int, spp: int) -> None:
     from raytracer795_tpu import render as render_mod
     from raytracer795_tpu.scene.loader import load_scene
 
-    loaded = load_scene(_SCENE)
+    g = 1
+    while g * g < spp:
+        g += 1
+    loaded = load_scene(os.path.join(_SCENES, xml_name))
     loaded.cameras[0] = dataclasses.replace(
-        loaded.cameras[0], nx=RES, ny=RES, num_samples=1, grid=1)
+        loaded.cameras[0], nx=res, ny=res, num_samples=spp, grid=g)
     scene = loaded.scene
-    n_tris = sum(g.n_tris for g in scene.groups)
+    n_tris = sum(gr.n_tris for gr in scene.groups)
 
     n_lights = int(scene.lights.point_pos.shape[0])
-    lanes = RES * RES
+    lanes = res * res * spp
     # per depth level: 1 nearest wavefront + one any-hit per light
     rays_per_frame = lanes * scene.max_depth * (1 + n_lights)
 
-    img = render_mod.render_camera(loaded, 0, seed=0)     # compile
+    img = render_mod.render_camera(loaded, 0, seed=0, spp=spp)   # compile
     best = float("inf")
     for i in range(3):
         t0 = time.perf_counter()
-        img = render_mod.render_camera(loaded, 0, seed=i + 1)
+        img = render_mod.render_camera(loaded, 0, seed=i + 1, spp=spp)
         best = min(best, time.perf_counter() - t0)
 
     del img
-    render_mod.log_render_stats(scene, loaded.cameras[0], best, 1)
+    render_mod.log_render_stats(scene, loaded.cameras[0], best, spp)
     value = rays_per_frame / best
     print(json.dumps({
-        "metric": f"rays/s/chip (rock100k {n_tris} tris, Whitted {RES}x{RES}"
-                  f" 1spp, depth {scene.max_depth}, {n_lights} shadow lights,"
-                  " Pallas BVH)",
+        "metric": f"rays/s/chip ({label} {n_tris} tris, Whitted {res}x{res}"
+                  f" {spp}spp, depth {scene.max_depth},"
+                  f" {n_lights} shadow lights, Pallas BVH)",
         "value": round(value, 1),
         "unit": "rays/s",
         "vs_baseline": round(value / CHIP_BASELINE_RAYS_PER_S, 4),
     }))
+
+
+def main() -> None:
+    bench_scene("rock100k.xml", "rock100k", RES, SPP)
+    if os.environ.get("BENCH_DRAGON", "1") != "0":
+        sys.path.insert(0, _SCENES)
+        import make_assets
+
+        make_assets.ensure_rock(os.path.join(_SCENES, "rock1800k.ply"),
+                                1350, 668)
+        bench_scene("rock1800k.xml", "rock1800k/dragon-scale", RES, 1)
 
 
 if __name__ == "__main__":

@@ -17,6 +17,15 @@ parallel/shard.py's SPMD render:
   the end (DCN, host-driven). Banding, sample chunking, and accumulation
   are render.render_camera's single code path (launcher hook) — full
   multisampling and lane-budget tiling included.
+
+Failure / elastic recovery story (SURVEY §5): every band render is a pure
+function of (scene, camera, seed, band) — idempotent tiles. A crashed job
+is simply relaunched, with ANY process count: band ownership is
+(band index % process_count), so a different world size partitions the
+same deterministic band results and the assembled film is identical
+(tested: 2-process film == 1-process film bit-for-bit on deterministic
+scenes). Long single-host renders additionally checkpoint/resume through
+render.FilmCheckpoint.
 """
 
 from __future__ import annotations

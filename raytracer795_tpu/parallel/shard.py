@@ -87,14 +87,6 @@ def resolve_whitted_iters(scene: T.Scene, rays: intersect.Rays,
     return measured + margin
 
 
-def _replicated_like(tree):
-    return jax.tree.map(lambda _: P(), tree)
-
-
-def _lane_sharded_like(tree):
-    return jax.tree.map(lambda _: P(RAY_AXIS), tree)
-
-
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 

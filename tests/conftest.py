@@ -17,9 +17,17 @@ os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jaxcomp"))
 
+TPU_TESTS = os.environ.get("RT795_TPU_TESTS") == "1"
+# CPU suite runs are XLA-COMPILE-bound (big unrolled render/backward
+# programs on a 2-vCPU box); backend optimization level 0 halves compile
+# time and measured faster end-to-end on every test class (gradient FD
+# checks 127 s -> 69 s, golden set 157 s -> 135 s). TPU runs keep full opt.
+if not TPU_TESTS and "xla_backend_optimization_level" \
+        not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] += " --xla_backend_optimization_level=0"
+
 import jax  # noqa: E402
 
-TPU_TESTS = os.environ.get("RT795_TPU_TESTS") == "1"
 if not TPU_TESTS:
     jax.config.update("jax_platforms", "cpu")
 

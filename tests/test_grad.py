@@ -219,9 +219,12 @@ class TestTextureGrads:
             assert abs(g[y, x, c] - fd) <= 0.02 * max(abs(fd), 1e-12), \
                 (int(y), int(x), int(c), g[y, x, c], fd)
 
+    @pytest.mark.slow
     def test_texture_images_in_train_params(self):
         """differentiable_params exposes texture images and the train step
-        produces finite, non-zero psum'd gradients for them.
+        produces finite, non-zero psum'd gradients for them. (slow-marked:
+        a ~2 min backward compile; per-texel FD coverage stays in the
+        default lane via test_per_texel_fd.)
 
         Normal/bump decals are disabled FOR THIS CPU TEST ONLY: their image
         gradient flows through the shading normal into the continuation-ray

@@ -51,8 +51,14 @@ def test_forward_parity_1_vs_8_devices(setup):
     np.testing.assert_array_equal(np.asarray(img1), np.asarray(img8))
 
 
+@pytest.mark.slow
 def test_sharded_grads_match_unsharded(setup):
-    """psum'd data-parallel gradients == single-program jax.grad."""
+    """psum'd data-parallel gradients == single-program jax.grad.
+
+    slow-marked: two full backward compiles (~3 min on this box). The
+    default lane still covers sharded gradients via
+    test_train_step_decreases_loss_and_stays_finite (finite psum'd grads +
+    loss descent on the same program)."""
     from raytracer795_tpu.models import whitted
     from raytracer795_tpu.parallel import shard as par
 
