@@ -561,14 +561,25 @@ def build_multipack(verts: np.ndarray, tri_vidx: np.ndarray, build_fn,
     if pack_tris is None:
         pack_tris = PACK_TRIS
     n_packs = -(-n // pack_tris)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from raytracer795_tpu.ops import bvh as bvh_mod
+
+    chunk_ids = [order[p * pack_tris:(p + 1) * pack_tris]
+                 for p in range(n_packs)]
+
+    def build_one(ids):
+        pbmin, pbmax = bvh_mod.tri_bounds(verts, tri_vidx[ids])
+        return build_fn(pbmin, pbmax)
+
+    # the native nth_element builder releases the GIL during the C call,
+    # so pack builds overlap (1.8M-triangle load: ~17 s -> ~10 s here)
+    with ThreadPoolExecutor(max_workers=min(4, n_packs)) as ex:
+        built = list(ex.map(build_one, chunk_ids))
+
     perm_parts, flats, node_tabs, tri_tabs = [], [], [], []
     start = 0
-    for p in range(n_packs):
-        ids = order[p * pack_tris:(p + 1) * pack_tris]
-        from raytracer795_tpu.ops import bvh as bvh_mod
-
-        pbmin, pbmax = bvh_mod.tri_bounds(verts, tri_vidx[ids])
-        flat, pperm = build_fn(pbmin, pbmax)
+    for ids, (flat, pperm) in zip(chunk_ids, built):
         ids = ids[pperm]                    # pack-local leaf order
         flat = T.FlatBVH(bmin=flat.bmin, bmax=flat.bmax,
                          first=np.asarray(flat.first) + start,
