@@ -60,8 +60,10 @@ COMPS = 13              # ax ay az e1x.. e2x.. ngx ngy ngz prim_id
 NODES_PER_ROW = 2
 NODE_STRIDE = 64
 # rays per block = BLOCK_ROWS x 128. With tile-swizzled lanes
-# (camera.band_pixels) a 32-row block is one 64x64 pixel tile; measured on
-# the rock100k frame: 16 rows ~= 32 > 64 (post-swizzle bench sweep) — the
+# (camera.band_pixels) a 64-row block covers a 64x64 pixel tile at 1 spp
+# (64x32 pixels at 4 spp — sample lanes of a pixel are adjacent); measured
+# on the 4spp rock100k + 1spp rock1800k benches: 64 rows beats 16/32/128
+# on both (13.3M/0.95M vs 12.6/0.56, 12.9/0.84, 13.0/0.87 rays/s) — the
 # scalar node walk amortizes across lanes until the block's node union
 # saturates the tree. RT795_BLOCK_ROWS overrides for tuning.
 # NEGATIVE RESULT (measured, not adopted): gating each 9-triangle row's
@@ -69,7 +71,7 @@ NODE_STRIDE = 64
 # SLOWER on rock100k primaries+shadows (58 vs 52 ms / 106 vs 96 ms) — the
 # tile-swizzled block unions are tight enough that visited rows almost
 # always have a live lane, so the gate only adds overhead.
-BLOCK_ROWS = int(os.environ.get("RT795_BLOCK_ROWS", "0")) or 32
+BLOCK_ROWS = int(os.environ.get("RT795_BLOCK_ROWS", "0")) or 64
 LANES = 128
 BLOCK = BLOCK_ROWS * LANES
 _BIG = 3.0e38   # plain float: a jnp scalar would be a captured kernel const
