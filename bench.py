@@ -65,14 +65,22 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
 
     del img
-    render_mod.log_render_stats(scene, loaded.cameras[0], best, SPP)
+    # survivor-weighted (net) count: one full re-render with live-lane
+    # counters, outside the timed region (VERDICT r4 item 3)
+    net_rays = render_mod.count_net_rays(loaded, 0, seed=1, spp=SPP)
+    render_mod.log_render_stats(scene, loaded.cameras[0], best, SPP,
+                                net_rays=net_rays)
     value = rays_per_frame / best
+    net_value = net_rays / best
     print(json.dumps({
         "metric": f"rays/s/chip (Cornell path trace {RES}x{RES} {SPP}spp, "
-                  f"depth {scene.max_depth}, NEE+IS)",
+                  f"depth {scene.max_depth}, NEE+IS; gross device lanes — "
+                  f"net live-lane number in net_rays_per_s)",
         "value": round(value, 1),
         "unit": "rays/s",
         "vs_baseline": round(value / CHIP_BASELINE_RAYS_PER_S, 4),
+        "net_rays_per_s": round(net_value, 1),
+        "net_vs_baseline": round(net_value / CHIP_BASELINE_RAYS_PER_S, 4),
     }))
 
 

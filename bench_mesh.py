@@ -63,8 +63,11 @@ def bench_scene(xml_name: str, label: str, res: int, spp: int) -> None:
         best = min(best, time.perf_counter() - t0)
 
     del img
-    render_mod.log_render_stats(scene, loaded.cameras[0], best, spp)
+    net_rays = render_mod.count_net_rays(loaded, 0, seed=1, spp=spp)
+    render_mod.log_render_stats(scene, loaded.cameras[0], best, spp,
+                                net_rays=net_rays)
     value = rays_per_frame / best
+    net_value = net_rays / best
     print(json.dumps({
         "metric": f"rays/s/chip ({label} {n_tris} tris, Whitted {res}x{res}"
                   f" {spp}spp, depth {scene.max_depth},"
@@ -72,6 +75,9 @@ def bench_scene(xml_name: str, label: str, res: int, spp: int) -> None:
         "value": round(value, 1),
         "unit": "rays/s",
         "vs_baseline": round(value / CHIP_BASELINE_RAYS_PER_S, 4),
+        "net_rays_per_s": round(net_value, 1),
+        "net_vs_baseline": round(net_value / CHIP_BASELINE_RAYS_PER_S, 4),
+        "frame_seconds": round(best, 3),
     }))
 
 

@@ -59,6 +59,7 @@ from raytracer795_tpu.utils.vecmath import safe_pow
 
 
 class _PTState(NamedTuple):
+    net: jnp.ndarray        # scalar int32 survivor-weighted ray count
     active: jnp.ndarray     # [N]
     count_emission: jnp.ndarray  # [N] ray may collect emission at next hit
     o: Vec3
@@ -204,8 +205,16 @@ def _object_light_nee(scene: T.Scene, sp: ShadePoint, key) -> Vec3:
 
 
 def render_rays(scene: T.Scene, rays: intersect.Rays,
-                bg_radiance, key: jax.Array) -> jnp.ndarray:
-    """Path-trace a batch of camera rays to radiance [N, 3]."""
+                bg_radiance, key: jax.Array,
+                with_stats: bool = False) -> jnp.ndarray:
+    """Path-trace a batch of camera rays to radiance [N, 3].
+
+    ``with_stats=True`` returns ``(radiance, net_rays)``: net_rays is the
+    scalar int32 count of rays traced by LIVE lanes only (extension rays of
+    active lanes + NEE/classic shadow rays of diffuse-shaded lanes) — the
+    survivor-weighted number beside bench.py's device-throughput gross
+    count, which bills every masked lane for full depth.
+    """
     # host (numpy) scene leaves cannot be indexed by traced lane ids
     scene = jax.tree_util.tree_map(jnp.asarray, scene)
     if not isinstance(bg_radiance, Vec3):
@@ -216,7 +225,19 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
     max_bounces = max(scene.max_depth, 1)
     has_object_lights = bool(scene.sphere_lights or scene.mesh_lights)
 
+    # shadow-ray sources per diffuse-shaded lane: every object light when
+    # NEE is on, plus each classic light (and env) via direct_lighting
+    n_obj_nee = (len(scene.sphere_lights) + len(scene.mesh_lights)) \
+        if (scene.pt_nee and has_object_lights) else 0
+    n_classic = int(scene.lights.point_pos.shape[0]
+                    + scene.lights.dir_dir.shape[0]
+                    + scene.lights.spot_pos.shape[0]
+                    + scene.lights.area_pos.shape[0]) \
+        + (1 if scene.env_texture >= 0 else 0)
+    n_shadow_lights = n_obj_nee + n_classic
+
     state = _PTState(
+        net=jnp.int32(0),
         active=jnp.ones((N,), bool),
         count_emission=jnp.ones((N,), bool),
         o=rays.o, d=rays.d, time=rays.time,
@@ -275,6 +296,10 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
         is_mirror = hit_valid & (mtype == T.MAT_MIRROR)
         is_conductor = hit_valid & (mtype == T.MAT_CONDUCTOR)
         is_dielectric = hit_valid & (mtype == T.MAT_DIELECTRIC)
+
+        # net (survivor-weighted) ray accounting
+        net = (s.net + jnp.sum(s.active.astype(jnp.int32))
+               + n_shadow_lights * jnp.sum(is_diffuse.astype(jnp.int32)))
 
         # ---- NEE + classic lights at diffuse vertices ----
         sp = ShadePoint(point=det.point, normal=normal, wo=-s.d, mat=mat_idx,
@@ -363,6 +388,7 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
             cont = jnp.where(apply_rr, cont & live, cont)
 
         ns = _PTState(
+            net=net,
             active=cont,
             count_emission=count_next,
             o=vwhere(cont, new_o, s.o),
@@ -391,4 +417,6 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
     out = final.radiance.to_array()
     if compact:        # un-permute lanes back to pixel order
         out = jnp.zeros_like(out).at[final.pixel].set(out)
+    if with_stats:
+        return out, final.net
     return out

@@ -61,6 +61,7 @@ from raytracer795_tpu.utils.vecmath import safe_div
 
 class _State(NamedTuple):
     it: jnp.ndarray             # scalar int32 iteration counter
+    net: jnp.ndarray            # scalar int32 survivor-weighted ray count
     active: jnp.ndarray         # [N] lane has a current ray
     is_primary: jnp.ndarray     # [N] current ray is the camera ray
     o: Vec3                     # [N] x3
@@ -160,8 +161,15 @@ def _put_row3(st: Vec3, sp, mask, val: Vec3, D) -> Vec3:
 def render_rays(scene: T.Scene, rays: intersect.Rays,
                 bg_radiance, key: jax.Array,
                 differentiable: bool = True,
-                max_iters: int | None = None) -> jnp.ndarray:
+                max_iters: int | None = None,
+                with_stats: bool = False) -> jnp.ndarray:
     """Shade a batch of camera rays to radiance [N, 3].
+
+    ``with_stats=True`` returns ``(radiance, net_rays)`` where net_rays is
+    the scalar int32 count of rays LIVE lanes actually traced (extension
+    rays of active lanes + shadow rays of shaded lanes per light) — the
+    survivor-weighted "net" number next to the device-throughput "gross"
+    lanes x depth x (1+lights) accounting of bench.py.
 
     ``differentiable=True`` (default) runs the lane machine as a
     static-trip-count ``fori_loop`` — reverse-mode differentiable, with the
@@ -178,6 +186,8 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
     """
     final = _render_machine(scene, rays, bg_radiance, key, differentiable,
                             max_iters)
+    if with_stats:
+        return final.radiance.to_array(), final.net
     return final.radiance.to_array()
 
 
@@ -219,6 +229,7 @@ def _render_machine(scene: T.Scene, rays: intersect.Rays,
 
     state = _State(
         it=jnp.int32(0),
+        net=jnp.int32(0),
         active=jnp.ones((N,), bool),
         is_primary=jnp.ones((N,), bool),
         o=rays.o, d=rays.d, time=rays.time,
@@ -251,6 +262,12 @@ def _render_machine(scene: T.Scene, rays: intersect.Rays,
     # Without dielectrics no lane ever splits: the deferred-ray stack and
     # Beer machinery are statically dead (masks all-False) and skipped.
     has_diel = scene.any_dielectric
+    # shadow-tracing lights (each traces one occlusion per shaded lane)
+    n_shadow_lights = int(scene.lights.point_pos.shape[0]
+                          + scene.lights.dir_dir.shape[0]
+                          + scene.lights.spot_pos.shape[0]
+                          + scene.lights.area_pos.shape[0]) \
+        + (1 if scene.env_texture >= 0 else 0)
 
     def body(s: _State) -> _State:
         # ---- pop deferred rays into idle lanes ----
@@ -316,6 +333,11 @@ def _render_machine(scene: T.Scene, rays: intersect.Rays,
 
         entering = vdot(d, normal) < 0
         emits = as_normal | as_mirror | as_conductor | (as_dielectric & entering)
+
+        # net (survivor-weighted) ray accounting: 1 extension ray per
+        # ACTIVE lane + 1 shadow ray per shaded lane per shadow light
+        net = (s.net + jnp.sum(active.astype(jnp.int32))
+               + n_shadow_lights * jnp.sum(emits.astype(jnp.int32)))
 
         sp_point = ShadePoint(
             point=det.point, normal=normal, wo=-d, mat=mat_idx,
@@ -404,6 +426,7 @@ def _render_machine(scene: T.Scene, rays: intersect.Rays,
 
         return _State(
             it=s.it + 1,
+            net=net,
             active=continues,
             is_primary=s.is_primary & jnp.zeros_like(continues),
             o=vwhere(continues, new_o, o),

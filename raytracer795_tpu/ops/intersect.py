@@ -45,7 +45,11 @@ from raytracer795_tpu.utils.vec3 import (Mat3, Vec3, const_affine_apply,
                                          vcross, vdot, vmasked_normalize,
                                          vwhere)
 
-_BIG = jnp.float32(3.0e38)
+# Plain float, NOT jnp.float32: a module-level device array would
+# initialize the XLA backend at import time, which breaks multi-process
+# launchers that must call jax.distributed.initialize() first (the same
+# rule pallas_bvh.py:77 follows).
+_BIG = 3.0e38
 
 # Primitive-chunk size for the non-unrolled t-pass: bounds [N, CHUNK] temps.
 _PRIM_CHUNK = 512

@@ -57,6 +57,13 @@ def initialize(coordinator_address: str | None = None,
     if coordinator_address is None and num_processes is None \
             and "JAX_NUM_PROCESSES" not in os.environ:
         return 0        # single-process: nothing to initialize
+    # jax.distributed.initialize only auto-detects cluster envs (TPU
+    # metadata, SLURM, OMPI); the generic JAX_NUM_PROCESSES/JAX_PROCESS_ID
+    # names this CLI documents are parsed here.
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
