@@ -58,8 +58,10 @@ def main() -> None:
     # warm-up (compile)
     img = render_mod.render_camera(loaded, 0, seed=0, spp=SPP)
 
+    # best-of-5: this box's tunneled chip has multi-minute slow windows
+    # (same compiled frame measured 65 ms..3.9 s); more reps ride them out
     best = float("inf")
-    for i in range(3):
+    for i in range(5):
         t0 = time.perf_counter()
         img = render_mod.render_camera(loaded, 0, seed=i + 1, spp=SPP)
         best = min(best, time.perf_counter() - t0)

@@ -37,7 +37,8 @@ SPP = int(os.environ.get("BENCH_SPP", "4"))
 CHIP_BASELINE_RAYS_PER_S = 100e6 / 8.0
 
 
-def bench_scene(xml_name: str, label: str, res: int, spp: int) -> None:
+def bench_scene(xml_name: str, label: str, res: int, spp: int,
+                one_launch: bool = False) -> None:
     from raytracer795_tpu import render as render_mod
     from raytracer795_tpu.scene.loader import load_scene
 
@@ -50,6 +51,15 @@ def bench_scene(xml_name: str, label: str, res: int, spp: int) -> None:
     scene = loaded.scene
     n_tris = sum(gr.n_tris for gr in scene.groups)
 
+    # This box's tunneled chip pays a large, highly variable per-launch +
+    # per-transfer cost (measured 65 ms..3.9 s for the SAME compiled
+    # 1.8M-tri frame minutes apart). ``one_launch`` renders the whole
+    # frame in a single device launch so a frame pays that tax once, and
+    # the rep count is raised so the best-of catches a quiet window.
+    old_lanes = render_mod.MAX_LANES
+    if one_launch and "RT795_MAX_LANES" not in os.environ:
+        render_mod.MAX_LANES = max(old_lanes, res * res * spp)
+
     n_lights = int(scene.lights.point_pos.shape[0])
     lanes = res * res * spp
     # per depth level: 1 nearest wavefront + one any-hit per light
@@ -57,10 +67,11 @@ def bench_scene(xml_name: str, label: str, res: int, spp: int) -> None:
 
     img = render_mod.render_camera(loaded, 0, seed=0, spp=spp)   # compile
     best = float("inf")
-    for i in range(3):
+    for i in range(6):
         t0 = time.perf_counter()
         img = render_mod.render_camera(loaded, 0, seed=i + 1, spp=spp)
         best = min(best, time.perf_counter() - t0)
+    render_mod.MAX_LANES = old_lanes
 
     del img
     net_rays = render_mod.count_net_rays(loaded, 0, seed=1, spp=spp)
@@ -89,7 +100,8 @@ def main() -> None:
 
         make_assets.ensure_rock(os.path.join(_SCENES, "rock1800k.ply"),
                                 1350, 668)
-        bench_scene("rock1800k.xml", "rock1800k/dragon-scale", RES, 1)
+        bench_scene("rock1800k.xml", "rock1800k/dragon-scale", RES, 1,
+                    one_launch=True)
 
 
 if __name__ == "__main__":

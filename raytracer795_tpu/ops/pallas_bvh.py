@@ -25,18 +25,17 @@ Semantics are EXACTLY those of the jnp reference path
 test keeps the reference's d == 0 inf/NaN rejection quirk
 (src/BVH.cpp:212-266), |t| ranking with strict-less updates
 (src/BVH.cpp:165-171), the safe ``entry > best`` prune, NaN/zero-direction
-rays dead on arrival (src/Helper.cpp:28-30). Block consensus is sound up
-to one measure-zero corner: child boxes are contained in parent boxes (so
-a lane can never hit a child after missing its parent), and every per-lane
-update re-checks that lane's own box hit and ranking, so riding along to a
-node the lane would have pruned changes nothing. EXCEPTION (documented
-deviation): a lane with a zero direction component whose origin coordinate
-exactly equals a child-box bound (but not the parent's) gets entry = NaN
--> box_hit = True at the child after cleanly missing the parent, so it can
-ride the block into a subtree the per-lane oracle never visits and accept
-a triangle there. This needs an axis-aligned ray with a vertex-exact
-origin coordinate — measure-zero in float inputs; the per-lane jnp walk
-(and the reference recursion) prune it at the parent.
+rays dead on arrival (src/Helper.cpp:28-30). Block consensus is per-lane
+EXACT: each lane carries an ancestor-validity bitmask (bit d = the lane
+hit the depth-d node of the current DFS path, node depths baked into the
+tables), and a lane only participates at a node where it hit EVERY
+ancestor — identical to the per-lane oracle walk. This closes the
+formerly-documented d == 0 NaN-entry deviation (a lane with a zero
+direction component whose origin coordinate exactly equals a child-box
+bound got entry = NaN -> box_hit = True at the child after cleanly
+missing the parent, and could ride the block into a subtree the per-lane
+oracle never visits); tests/test_pallas.py covers the axis-aligned
+vertex-exact-origin construction directly.
 
 Scope: both the node and triangle tables must fit VMEM, bounding a single
 group at roughly ~140k triangles (the dragon-class meshes of
@@ -203,17 +202,33 @@ def build_pack(flat: T.FlatBVH, verts: np.ndarray, tri_vidx: np.ndarray,
         tri_rows = np.zeros((1, LANES), np.float32)
         slot_prim = np.full((1, TRIS_PER_ROW), -1, np.int32)
 
-    fields = np.zeros((n_nodes, 9), np.float32)
+    # node depth in the DFS order (for the kernel's per-lane ancestor
+    # validity mask): inner node i's subtree spans [i+1, miss[i]) one
+    # level deeper; a stack of (subtree end, restore depth) walks it.
+    depth = np.zeros(n_nodes, np.int32)
+    dstack = []
+    dcur = 0
+    for i in range(n_nodes):
+        while dstack and dstack[-1][0] == i:
+            dcur = dstack.pop()[1]
+        depth[i] = dcur
+        if count[i] == 0:
+            dstack.append((miss[i], dcur))
+            dcur += 1
+    assert depth.max(initial=0) < 31, "ancestor bitmask needs depth < 31"
+
+    fields = np.zeros((n_nodes, 10), np.float32)
     fields[:, 0:3] = bmin
     fields[:, 3:6] = bmax
     fields[:, 6] = node_first_row.astype(np.float32)
     fields[:, 7] = node_n_rows.astype(np.float32)
     fields[:, 8] = miss.astype(np.float32)
+    fields[:, 9] = depth.astype(np.float32)
     n_rows_packed = -(-n_nodes // NODES_PER_ROW)
     node_rows = np.zeros((n_rows_packed, LANES), np.float32)
     for k in range(NODES_PER_ROW):
         sl = fields[k::NODES_PER_ROW]
-        node_rows[:sl.shape[0], k * NODE_STRIDE:k * NODE_STRIDE + 9] = sl
+        node_rows[:sl.shape[0], k * NODE_STRIDE:k * NODE_STRIDE + 10] = sl
     if as_arrays:
         return node_rows, tri_rows, slot_prim
     return BVHPack(node_rows=jnp.asarray(node_rows),
@@ -284,7 +299,8 @@ def _read_node(nodes_ref, node):
     first_row = fld(6).astype(jnp.int32)
     n_rows = fld(7).astype(jnp.int32)
     miss = fld(8).astype(jnp.int32)
-    return bmin, bmax, first_row, n_rows, miss
+    depth = fld(9).astype(jnp.int32)
+    return bmin, bmax, first_row, n_rows, miss, depth
 
 
 def _ray_regs(o_refs, d_refs):
@@ -311,11 +327,22 @@ def _nearest_kernel(max_leaf_rows, n_nodes,
     t_ref[:] = jnp.zeros((BLOCK_ROWS, LANES), jnp.float32)
     idx_ref[:] = jnp.zeros((BLOCK_ROWS, LANES), jnp.int32)
 
-    def body(node):
-        bmin, bmax, first_row, n_rows, miss = _read_node(nodes_ref, node)
+    def body(state):
+        node, hm = state
+        bmin, bmax, first_row, n_rows, miss, dd = _read_node(nodes_ref, node)
 
         box_hit, entry = _slab(ox, oy, oz, dx, dy, dz, ix, iy, iz, bmin, bmax)
-        live = box_hit & ~(entry > key_ref[:]) & alive      # safe |t| prune
+        # per-lane ancestor validity (bit d of hm = lane hit the depth-d
+        # node of the current DFS path): a lane only stays live where it
+        # hit EVERY ancestor, exactly like the per-lane oracle walk. This
+        # closes the documented d == 0 NaN-entry deviation: a lane that
+        # cleanly missed a parent can no longer ride the block into the
+        # subtree and accept a triangle there.
+        anc_mask = (jnp.int32(1) << dd) - 1
+        anc_ok = (hm & anc_mask) == anc_mask
+        bit = jnp.int32(1) << dd
+        hm = jnp.where(box_hit, hm | bit, hm & ~bit)
+        live = (box_hit & anc_ok & ~(entry > key_ref[:]) & alive)
         any_live = jnp.any(live)
         is_leaf = n_rows > 0
 
@@ -343,9 +370,11 @@ def _nearest_kernel(max_leaf_rows, n_nodes,
                 idx_ref[:] = best_idx
 
         descend = any_live & ~is_leaf
-        return jnp.where(descend, node + 1, miss)
+        return jnp.where(descend, node + 1, miss), hm
 
-    jax.lax.while_loop(lambda n: n < n_nodes, body, jnp.int32(0))
+    jax.lax.while_loop(lambda s: s[0] < n_nodes, body,
+                       (jnp.int32(0),
+                        jnp.zeros((BLOCK_ROWS, LANES), jnp.int32)))
 
 
 def _anyhit_kernel(max_leaf_rows, n_nodes,
@@ -360,11 +389,17 @@ def _anyhit_kernel(max_leaf_rows, n_nodes,
 
     found_ref[:] = jnp.zeros((BLOCK_ROWS, LANES), jnp.int32)
 
-    def body(node):
-        bmin, bmax, first_row, n_rows, miss = _read_node(nodes_ref, node)
+    def body(state):
+        node, hm = state
+        bmin, bmax, first_row, n_rows, miss, dd = _read_node(nodes_ref, node)
 
         box_hit, entry = _slab(ox, oy, oz, dx, dy, dz, ix, iy, iz, bmin, bmax)
-        live = box_hit & ~(entry > t_cap) & alive & (found_ref[:] == 0)
+        anc_mask = (jnp.int32(1) << dd) - 1
+        anc_ok = (hm & anc_mask) == anc_mask
+        bit = jnp.int32(1) << dd
+        hm = jnp.where(box_hit, hm | bit, hm & ~bit)
+        live = (box_hit & anc_ok & ~(entry > t_cap) & alive
+                & (found_ref[:] == 0))
         any_live = jnp.any(live)
         is_leaf = n_rows > 0
 
@@ -384,9 +419,11 @@ def _anyhit_kernel(max_leaf_rows, n_nodes,
         done = ~jnp.any(alive & (found_ref[:] == 0))
         descend = any_live & ~is_leaf
         nxt = jnp.where(descend, node + 1, miss)
-        return jnp.where(done, n_nodes, nxt)
+        return jnp.where(done, n_nodes, nxt), hm
 
-    jax.lax.while_loop(lambda n: n < n_nodes, body, jnp.int32(0))
+    jax.lax.while_loop(lambda s: s[0] < n_nodes, body,
+                       (jnp.int32(0),
+                        jnp.zeros((BLOCK_ROWS, LANES), jnp.int32)))
 
 
 # --------------------------------------------------------------------------
@@ -504,13 +541,22 @@ def tri_bvh_anyhit(pack: BVHPack, local_o, local_d, t_cap, int_eps,
 # A single pack is capped at ~140k triangles by VMEM. Bigger groups are
 # partitioned into K packs of <= PACK_TRIS triangles by Morton order of the
 # triangle centroids (spatially coherent chunks), each with its own flat
-# skip-link BVH. The kernel grid becomes (ray_block, pack) with the pack
+# skip-link BVH. The kernel grid is (ray_block, pack_slot) with the pack
 # axis INNERMOST: the per-ray-block best-hit registers live in the output
-# refs and accumulate across consecutive pack steps (legal revisiting),
-# while Pallas's block pipeline streams pack k+1's node/tri tables from HBM
-# into VMEM during pack k's walk — double-buffered DMA without hand-written
-# semaphores. The per-lane `entry > best` prune carries across packs, so
-# later packs behind an already-found hit reject at their root.
+# refs and accumulate across consecutive pack steps (legal revisiting).
+#
+# TLAS pack culling + front-to-back ordering (round-5: the round-4 walk
+# re-fetched and re-walked ALL packs from every ray block — ~10 GB of DMA
+# per wavefront at 1.8M tris and a per-block cost linear in packs): a
+# cheap in-graph jnp pass slab-tests every ray block against each pack's
+# ROOT bbox (the exact test the kernel would run at that pack's root) and
+# builds a per-block pack list sorted by root entry distance, padded by
+# repeating the last entry. The list feeds the kernel through scalar
+# prefetch (PrefetchScalarGridSpec): the node/tri BlockSpec index maps
+# read pack_list[i, k], so culled packs are never DMA'd at all (repeated
+# consecutive indices skip the copy), touched packs stream in exactly
+# once per block, and the front-to-back order makes the per-lane
+# `entry > best` prune kill occluded packs at their root.
 
 PACK_TRIS = int(os.environ.get("RT795_PACK_TRIS", "0")) or 63 * 1024
 
@@ -523,6 +569,7 @@ class MultiPack:
     tri_rows: Any       # [K, TR, 128] f32
     n_nodes: Any        # [K] int32 true node count per pack
     slot_prim: Any = None   # [K, TR, 9] int32 global prim per slot, -1 pad
+    root_bbox: Any = None   # [K, 6] f32 pack-root (bmin, bmax) for TLAS
     max_leaf: int = 36
 
 
@@ -610,22 +657,82 @@ def build_multipack(verts: np.ndarray, tri_vidx: np.ndarray, build_fn,
         node_rows[p, :node_tabs[p].shape[0]] = node_tabs[p]
         tri_rows[p, :tri_tabs[p].shape[0]] = tri_tabs[p]
         slot_prim[p, :sp_tabs[p].shape[0]] = sp_tabs[p]
+    root_bbox = np.stack([np.concatenate([np.asarray(f.bmin)[0],
+                                          np.asarray(f.bmax)[0]])
+                          for f in flats]).astype(np.float32)
     mp = MultiPack(
         node_rows=jnp.asarray(node_rows), tri_rows=jnp.asarray(tri_rows),
         n_nodes=jnp.asarray([f.first.shape[0] for f in flats], jnp.int32),
         slot_prim=jnp.asarray(slot_prim),
+        root_bbox=jnp.asarray(root_bbox),
         max_leaf=max(int(f.max_leaf) for f in flats))
     return mp, perm, tuple(flats)
 
 
+def _block_pack_lists(comps, root_bbox, n_blocks: int):
+    """TLAS pass: per-ray-block culled, front-to-back pack lists.
+
+    ``comps`` = (ox, oy, oz, dx, dy, dz) in padded block layout
+    [n_rows, 128]. For every (block, pack) pair this runs EXACTLY the slab
+    test the traversal kernel would run at that pack's root (same _slab
+    math, d == 0 quirk included), so culling a pack only skips work the
+    kernel would reject in its first node step — plus the whole table DMA.
+    Returns (pack_list [n_blocks, K] int32 — root-hit packs first, sorted
+    by min entry distance over the block's live lanes, then the remaining
+    slots repeating the LAST touched pack so consecutive grid steps map to
+    the same table block and Pallas skips the copy; pack_count [n_blocks]).
+    """
+    ox, oy, oz, dx, dy, dz = (c.reshape(n_blocks, -1) for c in comps)
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    nan = (jnp.isnan(ox) | jnp.isnan(oy) | jnp.isnan(oz)
+           | jnp.isnan(dx) | jnp.isnan(dy) | jnp.isnan(dz))
+    alive = ~(nan | ((dx == 0.0) & (dy == 0.0) & (dz == 0.0)))
+    K = root_bbox.shape[0]
+    hits, keys = [], []
+    for k in range(K):
+        bmin = (root_bbox[k, 0], root_bbox[k, 1], root_bbox[k, 2])
+        bmax = (root_bbox[k, 3], root_bbox[k, 4], root_bbox[k, 5])
+        box_hit, entry = _slab(ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                               bmin, bmax)
+        live = box_hit & alive
+        hits.append(jnp.any(live, axis=1))
+        # ordering key: nearest root entry over live lanes; NaN/-inf
+        # entries (d == 0 quirk / origin-inside-box) sanitize to 0 so the
+        # pack sorts by "reachable now" — ordering is a heuristic, the
+        # per-lane `entry > best` prune keeps correctness either way
+        ekey = jnp.where(live & jnp.isfinite(entry),
+                         jnp.maximum(entry, 0.0), _BIG)
+        keys.append(jnp.min(ekey, axis=1))
+    hit = jnp.stack(hits, axis=1)                       # [n_blocks, K]
+    key = jnp.where(hit, jnp.stack(keys, axis=1), jnp.inf)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)  # hits first, f2b
+    count = jnp.sum(hit, axis=1).astype(jnp.int32)
+    last = jnp.take_along_axis(
+        order, jnp.maximum(count - 1, 0)[:, None], axis=1)
+    slot = jnp.arange(K, dtype=jnp.int32)[None, :]
+    pack_list = jnp.where(slot < count[:, None], order, last)
+    return pack_list, count
+
+
+def _full_pack_lists(n_blocks: int, K: int):
+    """No-TLAS fallback (root_bbox is None): every block walks every pack."""
+    pack_list = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :],
+                                 (n_blocks, K))
+    return pack_list, jnp.full((n_blocks,), K, jnp.int32)
+
+
 def _nearest_multi_kernel(max_leaf_rows,
-                          eps_ref, nn_ref, ox_ref, oy_ref, oz_ref,
+                          pl_ref, pc_ref, nn_ref,
+                          eps_ref, ox_ref, oy_ref, oz_ref,
                           dx_ref, dy_ref, dz_ref, nodes_ref, tris_ref,
                           key_ref, t_ref, idx_ref):
     import jax.experimental.pallas as pl
 
+    i = pl.program_id(0)
     k = pl.program_id(1)
-    n_nodes = nn_ref[k]
+    # culled slot: n_nodes = 0 makes the walk a no-op (the table block
+    # mapped here is a repeat of the last touched pack — already in VMEM)
+    n_nodes = jnp.where(k < pc_ref[i], nn_ref[pl_ref[i, k]], 0)
     int_eps = eps_ref[0]
     ox, oy, oz, dx, dy, dz, ix, iy, iz, alive = _ray_regs(
         (ox_ref, oy_ref, oz_ref), (dx_ref, dy_ref, dz_ref))
@@ -638,10 +745,15 @@ def _nearest_multi_kernel(max_leaf_rows,
         t_ref[:] = jnp.zeros((BLOCK_ROWS, LANES), jnp.float32)
         idx_ref[:] = jnp.zeros((BLOCK_ROWS, LANES), jnp.int32)
 
-    def body(node):
-        bmin, bmax, first_row, n_rows, miss = _read_node(nodes2, node)
+    def body(state):
+        node, hm = state
+        bmin, bmax, first_row, n_rows, miss, dd = _read_node(nodes2, node)
         box_hit, entry = _slab(ox, oy, oz, dx, dy, dz, ix, iy, iz, bmin, bmax)
-        live = box_hit & ~(entry > key_ref[:]) & alive      # safe |t| prune
+        anc_mask = (jnp.int32(1) << dd) - 1
+        anc_ok = (hm & anc_mask) == anc_mask
+        bit = jnp.int32(1) << dd
+        hm = jnp.where(box_hit, hm | bit, hm & ~bit)
+        live = (box_hit & anc_ok & ~(entry > key_ref[:]) & alive)
         any_live = jnp.any(live)
         is_leaf = n_rows > 0
 
@@ -667,19 +779,23 @@ def _nearest_multi_kernel(max_leaf_rows,
                 idx_ref[:] = best_idx
 
         descend = any_live & ~is_leaf
-        return jnp.where(descend, node + 1, miss)
+        return jnp.where(descend, node + 1, miss), hm
 
-    jax.lax.while_loop(lambda n: n < n_nodes, body, jnp.int32(0))
+    jax.lax.while_loop(lambda s: s[0] < n_nodes, body,
+                       (jnp.int32(0),
+                        jnp.zeros((BLOCK_ROWS, LANES), jnp.int32)))
 
 
 def _anyhit_multi_kernel(max_leaf_rows,
-                         eps_ref, nn_ref, ox_ref, oy_ref, oz_ref,
+                         pl_ref, pc_ref, nn_ref,
+                         eps_ref, ox_ref, oy_ref, oz_ref,
                          dx_ref, dy_ref, dz_ref, cap_ref,
                          nodes_ref, tris_ref, found_ref):
     import jax.experimental.pallas as pl
 
+    i = pl.program_id(0)
     k = pl.program_id(1)
-    n_nodes = nn_ref[k]
+    n_nodes = jnp.where(k < pc_ref[i], nn_ref[pl_ref[i, k]], 0)
     int_eps = eps_ref[0]
     ox, oy, oz, dx, dy, dz, ix, iy, iz, alive = _ray_regs(
         (ox_ref, oy_ref, oz_ref), (dx_ref, dy_ref, dz_ref))
@@ -691,10 +807,16 @@ def _anyhit_multi_kernel(max_leaf_rows,
     def _():
         found_ref[:] = jnp.zeros((BLOCK_ROWS, LANES), jnp.int32)
 
-    def body(node):
-        bmin, bmax, first_row, n_rows, miss = _read_node(nodes2, node)
+    def body(state):
+        node, hm = state
+        bmin, bmax, first_row, n_rows, miss, dd = _read_node(nodes2, node)
         box_hit, entry = _slab(ox, oy, oz, dx, dy, dz, ix, iy, iz, bmin, bmax)
-        live = box_hit & ~(entry > t_cap) & alive & (found_ref[:] == 0)
+        anc_mask = (jnp.int32(1) << dd) - 1
+        anc_ok = (hm & anc_mask) == anc_mask
+        bit = jnp.int32(1) << dd
+        hm = jnp.where(box_hit, hm | bit, hm & ~bit)
+        live = (box_hit & anc_ok & ~(entry > t_cap) & alive
+                & (found_ref[:] == 0))
         any_live = jnp.any(live)
         is_leaf = n_rows > 0
 
@@ -713,29 +835,42 @@ def _anyhit_multi_kernel(max_leaf_rows,
         done = ~jnp.any(alive & (found_ref[:] == 0))
         descend = any_live & ~is_leaf
         nxt = jnp.where(descend, node + 1, miss)
-        return jnp.where(done, n_nodes, nxt)
+        return jnp.where(done, n_nodes, nxt), hm
 
-    jax.lax.while_loop(lambda n: n < n_nodes, body, jnp.int32(0))
+    jax.lax.while_loop(lambda s: s[0] < n_nodes, body,
+                       (jnp.int32(0),
+                        jnp.zeros((BLOCK_ROWS, LANES), jnp.int32)))
 
 
-def _multi_specs(NR, TR):
+def _multi_grid_spec(n_blocks, K, NR, TR, n_ray_ins):
+    """PrefetchScalarGridSpec for the multipack kernels: scalars are
+    (pack_list, pack_count, n_nodes); the node/tri table index maps read
+    pack_list[i, k], so culled packs never DMA and repeats are free."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    rblock = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i, k: (i, 0),
+    rblock = pl.BlockSpec((BLOCK_ROWS, LANES),
+                          lambda i, k, pl_, pc_, nn_: (i, 0),
                           memory_space=pltpu.VMEM)
-    nblock = pl.BlockSpec((1, NR, LANES), lambda i, k: (k, 0, 0),
+    nblock = pl.BlockSpec((1, NR, LANES),
+                          lambda i, k, pl_, pc_, nn_: (pl_[i, k], 0, 0),
                           memory_space=pltpu.VMEM)
-    tblock = pl.BlockSpec((1, TR, LANES), lambda i, k: (k, 0, 0),
+    tblock = pl.BlockSpec((1, TR, LANES),
+                          lambda i, k, pl_, pc_, nn_: (pl_[i, k], 0, 0),
                           memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    return rblock, nblock, tblock, smem
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_blocks, K),
+        in_specs=[smem] + [rblock] * n_ray_ins + [nblock, tblock],
+        out_specs=[rblock] * 3 if n_ray_ins == 6 else rblock,
+    )
 
 
 @functools.partial(jax.jit,
                    static_argnames=("max_leaf_rows", "interpret"))
-def _nearest_multi_call(o, d, node_rows, tri_rows, n_nodes, int_eps,
-                        max_leaf_rows: int, interpret: bool):
+def _nearest_multi_call(o, d, node_rows, tri_rows, n_nodes, root_bbox,
+                        int_eps, max_leaf_rows: int, interpret: bool):
     import jax.experimental.pallas as pl
 
     (ox, n), (oy, _), (oz, _) = (_pad_block(c, jnp.nan) for c in o)
@@ -744,8 +879,12 @@ def _nearest_multi_call(o, d, node_rows, tri_rows, n_nodes, int_eps,
     n_blocks = n_rows_total // BLOCK_ROWS
     K, NR = node_rows.shape[0], node_rows.shape[1]
     TR = tri_rows.shape[1]
-    rblock, nblock, tblock, smem = _multi_specs(NR, TR)
     eps = jnp.asarray(int_eps, jnp.float32).reshape(1)
+    if root_bbox is None:
+        pack_list, pack_count = _full_pack_lists(n_blocks, K)
+    else:
+        pack_list, pack_count = _block_pack_lists(
+            (ox, oy, oz, dx, dy, dz), root_bbox, n_blocks)
 
     kernel = functools.partial(_nearest_multi_kernel, max_leaf_rows)
     out_shape = [
@@ -755,19 +894,18 @@ def _nearest_multi_call(o, d, node_rows, tri_rows, n_nodes, int_eps,
     ]
     key, t, idx = pl.pallas_call(
         kernel,
-        grid=(n_blocks, K),
+        grid_spec=_multi_grid_spec(n_blocks, K, NR, TR, 6),
         out_shape=out_shape,
-        in_specs=[smem, smem] + [rblock] * 6 + [nblock, tblock],
-        out_specs=[rblock] * 3,
         interpret=interpret,
-    )(eps, n_nodes, ox, oy, oz, dx, dy, dz, node_rows, tri_rows)
+    )(pack_list, pack_count, n_nodes,
+      eps, ox, oy, oz, dx, dy, dz, node_rows, tri_rows)
     return key.reshape(-1)[:n], t.reshape(-1)[:n], idx.reshape(-1)[:n]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("max_leaf_rows", "interpret"))
-def _anyhit_multi_call(o, d, t_cap, node_rows, tri_rows, n_nodes, int_eps,
-                       max_leaf_rows: int, interpret: bool):
+def _anyhit_multi_call(o, d, t_cap, node_rows, tri_rows, n_nodes, root_bbox,
+                       int_eps, max_leaf_rows: int, interpret: bool):
     import jax.experimental.pallas as pl
 
     (ox, n), (oy, _), (oz, _) = (_pad_block(c, jnp.nan) for c in o)
@@ -777,18 +915,21 @@ def _anyhit_multi_call(o, d, t_cap, node_rows, tri_rows, n_nodes, int_eps,
     n_blocks = n_rows_total // BLOCK_ROWS
     K, NR = node_rows.shape[0], node_rows.shape[1]
     TR = tri_rows.shape[1]
-    rblock, nblock, tblock, smem = _multi_specs(NR, TR)
     eps = jnp.asarray(int_eps, jnp.float32).reshape(1)
+    if root_bbox is None:
+        pack_list, pack_count = _full_pack_lists(n_blocks, K)
+    else:
+        pack_list, pack_count = _block_pack_lists(
+            (ox, oy, oz, dx, dy, dz), root_bbox, n_blocks)
 
     kernel = functools.partial(_anyhit_multi_kernel, max_leaf_rows)
     found = pl.pallas_call(
         kernel,
-        grid=(n_blocks, K),
+        grid_spec=_multi_grid_spec(n_blocks, K, NR, TR, 7),
         out_shape=jax.ShapeDtypeStruct((n_rows_total, LANES), jnp.int32),
-        in_specs=[smem, smem] + [rblock] * 7 + [nblock, tblock],
-        out_specs=rblock,
         interpret=interpret,
-    )(eps, n_nodes, ox, oy, oz, dx, dy, dz, cap, node_rows, tri_rows)
+    )(pack_list, pack_count, n_nodes,
+      eps, ox, oy, oz, dx, dy, dz, cap, node_rows, tri_rows)
     return found.reshape(-1)[:n] != 0
 
 
@@ -796,7 +937,7 @@ def tri_bvh_nearest_multi(mp: "MultiPack", local_o, local_d, int_eps,
                           interpret: bool = False):
     """Nearest-hit over all packs: (|t| key, t, GLOBAL prim index)."""
     return _nearest_multi_call(local_o, local_d, mp.node_rows, mp.tri_rows,
-                               mp.n_nodes, int_eps,
+                               mp.n_nodes, mp.root_bbox, int_eps,
                                max_leaf_rows_of(mp.max_leaf), interpret)
 
 
@@ -806,5 +947,5 @@ def tri_bvh_anyhit_multi(mp: "MultiPack", local_o, local_d, t_cap, int_eps,
     t_cap = jnp.broadcast_to(jnp.asarray(t_cap, jnp.float32),
                              local_o.x.shape)
     return _anyhit_multi_call(local_o, local_d, t_cap, mp.node_rows,
-                              mp.tri_rows, mp.n_nodes, int_eps,
+                              mp.tri_rows, mp.n_nodes, mp.root_bbox, int_eps,
                               max_leaf_rows_of(mp.max_leaf), interpret)
