@@ -94,6 +94,12 @@ def bench_scene(xml_name: str, label: str, res: int, spp: int,
 
 def main() -> None:
     bench_scene("rock100k.xml", "rock100k", RES, SPP)
+    if os.environ.get("BENCH_INSTANCES", "1") != "0":
+        # 36 MeshInstances + base share one kernel pack -> batched into
+        # single traversal launches (RT795_BATCH_INSTANCES=0 for the
+        # per-group-launch A/B)
+        bench_scene("instances_rock.xml", "instances_rock 37-group", 400, 1,
+                    one_launch=True)
     if os.environ.get("BENCH_DRAGON", "1") != "0":
         sys.path.insert(0, _SCENES)
         import make_assets

@@ -487,6 +487,79 @@ def _fresh_pack(scene: T.Scene, group: T.TraceGroup):
     return pk._replace(tri_rows=rows)
 
 
+def _pack_clusters(scene: T.Scene):
+    """Group indices sharing identical kernel pack tables (instances of a
+    base mesh, loader pack_share ids), batched into one launch each.
+    RT795_BATCH_INSTANCES=0 disables batching (bench A/B)."""
+    import os
+
+    if os.environ.get("RT795_BATCH_INSTANCES", "1") == "0":
+        return {}
+    clusters = {}
+    for gi, group in enumerate(scene.groups):
+        if group.bvh_pack is not None and group.pack_share >= 0:
+            clusters.setdefault(group.pack_share, []).append(gi)
+    return {s: gis for s, gis in clusters.items() if len(gis) > 1}
+
+
+def _concat_local_rays(scene: T.Scene, gis, rays: Rays):
+    """Per-group local rays stacked on the lane axis: [G*N] components."""
+    locs = [_transform_rays(scene.groups[gi], rays) for gi in gis]
+    o = Vec3(*(jnp.concatenate([getattr(l.o, c) for l in locs])
+               for c in "xyz"))
+    d = Vec3(*(jnp.concatenate([getattr(l.d, c) for l in locs])
+               for c in "xyz"))
+    return o, d
+
+
+def _batched_pack_nearest(scene: T.Scene, gis, rays: Rays, mode):
+    """ONE traversal launch for all instances sharing a pack.
+
+    The reference's world dispatch walks instances sequentially
+    (src/Helper.cpp:53-73); a per-group launch here costs a fixed kernel
+    dispatch each — G instances x (1+lights) x depth launches per frame.
+    Batching transforms the wavefront into every instance's local space,
+    concatenates the lanes, and runs the shared tables once. Per-lane
+    results are bit-identical to per-group launches (lane math does not
+    depend on block composition). Returns [G, N] (key, t, prim).
+    """
+    from raytracer795_tpu.ops import pallas_bvh
+
+    N = rays.o.shape[0]
+    o, d = _concat_local_rays(scene, gis, rays)
+    g0 = scene.groups[gis[0]]
+    pk = _fresh_pack(scene, g0)
+    if isinstance(pk, pallas_bvh.MultiPack):
+        k, t, i = pallas_bvh.tri_bvh_nearest_multi(
+            pk, o, d, scene.int_eps, interpret=(mode == "interp"))
+    else:
+        k, t, i = pallas_bvh.tri_bvh_nearest(
+            pk, o, d, scene.int_eps, g0.bvh.first.shape[0],
+            g0.bvh.max_leaf, interpret=(mode == "interp"))
+    G = len(gis)
+    return k.reshape(G, N), t.reshape(G, N), i.reshape(G, N)
+
+
+def _batched_pack_anyhit(scene: T.Scene, gis, rays: Rays, t_cap, mode):
+    """Occlusion analogue of _batched_pack_nearest: [G, N] found."""
+    from raytracer795_tpu.ops import pallas_bvh
+
+    N = rays.o.shape[0]
+    o, d = _concat_local_rays(scene, gis, rays)
+    G = len(gis)
+    cap = jnp.tile(t_cap, G)
+    g0 = scene.groups[gis[0]]
+    pk = _fresh_pack(scene, g0)
+    if isinstance(pk, pallas_bvh.MultiPack):
+        f = pallas_bvh.tri_bvh_anyhit_multi(
+            pk, o, d, cap, scene.int_eps, interpret=(mode == "interp"))
+    else:
+        f = pallas_bvh.tri_bvh_anyhit(
+            pk, o, d, cap, scene.int_eps, g0.bvh.first.shape[0],
+            g0.bvh.max_leaf, interpret=(mode == "interp"))
+    return f.reshape(G, N)
+
+
 def trace(scene: T.Scene, rays: Rays) -> Hit:
     """Nearest hit over all groups (world dispatch, src/Helper.cpp:18-80).
 
@@ -509,6 +582,14 @@ def trace(scene: T.Scene, rays: Rays) -> Hit:
     best_sph = jnp.zeros((N,), bool)
     valid = jnp.zeros((N,), bool)
 
+    mode = _pallas_mode()
+    batched = {}
+    if mode != "off":
+        for gis in _pack_clusters(scene).values():
+            bk, bt, bi = _batched_pack_nearest(scene, gis, rays, mode)
+            for slot, gi in enumerate(gis):
+                batched[gi] = (bk[slot], bt[slot], bi[slot])
+
     for gi, group in enumerate(scene.groups):
         local = _transform_rays(group, rays)
         g_key = jnp.full((N,), _BIG)
@@ -516,10 +597,11 @@ def trace(scene: T.Scene, rays: Rays) -> Hit:
         g_prim = jnp.zeros((N,), jnp.int32)
         g_sph = jnp.zeros((N,), bool)
         if group.n_tris:
-            mode = _pallas_mode()
             from raytracer795_tpu.ops import pallas_bvh
 
-            if group.bvh_pack is not None and mode != "off" \
+            if gi in batched:
+                tk, tt, tidx = batched[gi]
+            elif group.bvh_pack is not None and mode != "off" \
                     and isinstance(group.bvh_pack, pallas_bvh.MultiPack):
                 tk, tt, tidx = pallas_bvh.tri_bvh_nearest_multi(
                     _fresh_pack(scene, group), local.o, local.d,
@@ -642,13 +724,22 @@ def trace_anyhit(scene: T.Scene, rays: Rays, t_cap) -> jnp.ndarray:
     N = rays.o.shape[0]
     found = jnp.zeros((N,), bool)
 
-    for group in scene.groups:
+    mode = _pallas_mode()
+    skip = set()
+    if mode != "off":
+        for gis in _pack_clusters(scene).values():
+            bf = _batched_pack_anyhit(scene, gis, rays, t_cap, mode)
+            found = found | jnp.any(bf, axis=0)
+            skip.update(gis)
+
+    for gi, group in enumerate(scene.groups):
         local = _transform_rays(group, rays)
         if group.n_tris:
-            mode = _pallas_mode()
             from raytracer795_tpu.ops import pallas_bvh
 
-            if group.bvh_pack is not None and mode != "off" \
+            if gi in skip:
+                pass
+            elif group.bvh_pack is not None and mode != "off" \
                     and isinstance(group.bvh_pack, pallas_bvh.MultiPack):
                 found = found | pallas_bvh.tri_bvh_anyhit_multi(
                     _fresh_pack(scene, group), local.o, local.d, t_cap,

@@ -605,6 +605,10 @@ def load_scene(xml_path: str,
         tri = {k: v[perm] for k, v in tri.items()}
         return tri, flat, pack, pack_bvhs
 
+    # pack-share ids: groups built from the same bvh_key share identical
+    # kernel tables; the wavefront dispatch batches them into one launch
+    _share_ids: Dict = {}
+
     def make_group(name, tri, sph, matrix, blur, has_xform, obj_bbox=None,
                    bvh_key=None):
         tri, flat_bvh, bvh_pack, pack_bvhs = maybe_bvh(tri, bvh_key)
@@ -614,6 +618,9 @@ def load_scene(xml_path: str,
             obj_bbox = np.zeros((0, 2, 3), np.float32)
         else:
             obj_bbox = np.asarray(obj_bbox, np.float32).reshape(-1, 2, 3)
+        pack_share = -1
+        if bvh_pack is not None and bvh_key is not None:
+            pack_share = _share_ids.setdefault(bvh_key, len(_share_ids))
         return T.TraceGroup(
             **{k: v for k, v in tri.items()},
             **{k: v for k, v in sph.items()},
@@ -624,6 +631,7 @@ def load_scene(xml_path: str,
             has_blur=bool(np.any(np.asarray(blur, np.float32) != 0.0)),
             n_tris=len(tri["tri_vidx"]), n_spheres=len(sph["sph_cidx"]),
             bvh=flat_bvh, bvh_pack=bvh_pack, pack_bvhs=pack_bvhs,
+            pack_share=pack_share,
         )
 
     # merged static group

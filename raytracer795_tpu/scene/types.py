@@ -128,7 +128,7 @@ class FlatBVH:
 
 
 @_dataclass_pytree(meta=("name", "has_xform", "n_tris", "n_spheres",
-                         "has_blur"))
+                         "has_blur", "pack_share"))
 class TraceGroup:
     """One intersectable unit: a set of primitives sharing one transform.
 
@@ -191,6 +191,12 @@ class TraceGroup:
     # per-pack flat BVHs (globally-offset prim ids) for the jnp fallback.
     bvh_pack: Any = None    # pallas_bvh.BVHPack | MultiPack | None
     pack_bvhs: Any = None   # tuple[FlatBVH, ...] | None (bvh is None then)
+    # static: groups with the SAME nonnegative id share identical kernel
+    # pack tables (instances of one base mesh). The wavefront dispatch
+    # batches such groups into ONE traversal launch (ops/intersect.py) —
+    # the reference's per-instance loop (src/Helper.cpp:53-73) would cost
+    # one kernel launch per instance per wavefront otherwise.
+    pack_share: int = -1
 
 
 @_dataclass_pytree(meta=("has_xform",))

@@ -288,6 +288,50 @@ def test_kernel_parity_perturbed_vertices():
                                   np.asarray(perm2)[np.asarray(oidx2)[both]])
 
 
+def test_batched_instance_dispatch_bitwise():
+    """Groups sharing a kernel pack (instances of one base mesh) are
+    batched into ONE traversal launch (ops/intersect.py pack clusters);
+    results must be bit-identical to the per-group launch loop."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer795_tpu.models import camera as camera_model
+    from raytracer795_tpu.ops import intersect
+    from raytracer795_tpu.scene.loader import load_scene
+
+    # bvh_min_tris=1 packs even the 6-triangle base mesh, so the two
+    # MeshInstances + base form a 3-group shared-pack cluster
+    loaded = load_scene(os.path.join(conftest.SCENES, "instances.xml"),
+                        bvh_min_tris=1)
+    scene = loaded.scene
+    assert len(intersect._pack_clusters(scene)) >= 1
+    import dataclasses as dc
+
+    cam = dc.replace(loaded.cameras[0], nx=32, ny=32, num_samples=1, grid=1)
+    rays = camera_model.primary_rays(cam)
+
+    os.environ["RT795_PALLAS"] = "interp"
+    try:
+        os.environ["RT795_BATCH_INSTANCES"] = "0"
+        h_u = jax.jit(intersect.trace)(scene, rays)
+        f_u = jax.jit(intersect.trace_anyhit)(
+            scene, rays, jnp.full(rays.o.shape[:1], 4.0))
+        os.environ["RT795_BATCH_INSTANCES"] = "1"
+        h_b = jax.jit(lambda s, r: intersect.trace(s, r))(scene, rays)
+        f_b = jax.jit(lambda s, r: intersect.trace_anyhit(
+            s, r, jnp.full(r.o.shape[:1], 4.0)))(scene, rays)
+    finally:
+        os.environ.pop("RT795_PALLAS", None)
+        os.environ.pop("RT795_BATCH_INSTANCES", None)
+
+    assert bool(np.asarray(h_b.valid).any())
+    for a, b in zip(h_u, h_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(f_u), np.asarray(f_b))
+
+
 def test_kernel_parity_axis_aligned_vertex_origins():
     """The (formerly documented, now fixed) d == 0 NaN-entry corner: rays
     with a zero direction component whose origin coordinates sit EXACTLY

@@ -52,6 +52,94 @@ def test_golden_rock1800k_multipack():
 
 
 @tpu_only
+def test_golden_instances_rock():
+    """Instance-heavy dispatch (36 MeshInstances + base sharing one
+    kernel pack, batched into single traversal launches) vs the compiled
+    reference renderer. Bounds are the transforms/instances golden class
+    (knife-edge silhouette pixels under rotated float32 transforms)."""
+    from raytracer795_tpu import render as render_mod
+    from raytracer795_tpu.ops import intersect
+    from raytracer795_tpu.scene.loader import load_scene
+
+    loaded = load_scene(os.path.join(conftest.SCENES, "instances_rock.xml"))
+    clusters = intersect._pack_clusters(loaded.scene)
+    assert clusters and max(len(g) for g in clusters.values()) == 37
+    img = conftest.ldr(render_mod.render_camera(loaded, 0, seed=0))
+    gold = conftest.golden("instances_rock")
+    diff = np.abs(img - gold)
+    assert diff.mean() < 0.2, f"mean {diff.mean()}"
+    assert (diff > 2).mean() < 0.01, f"frac>2 {(diff > 2).mean()}"
+
+
+@tpu_only
+def test_train_step_on_pack_backed_mesh():
+    """Vertex optimization THROUGH the compiled kernel path (r4 verdict
+    item 4): a mesh scene whose trace group is kernel-pack-backed, a toy
+    inverse-rendering loss on the vertices, and three checks — the TPU
+    kernel-path gradient matches the jnp-oracle gradient (RT795_PALLAS=0,
+    same chip), SGD on vertices descends, and the moved geometry really
+    flows through _fresh_pack (the gradient is nonzero)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer795_tpu.models import whitted
+    from raytracer795_tpu.models.camera import primary_rays
+    from raytracer795_tpu.scene.loader import load_scene
+
+    loaded = load_scene(os.path.join(conftest.SCENES, "ply_smooth.xml"),
+                        bvh_min_tris=1)
+    scene = loaded.scene
+    assert any(g.bvh_pack is not None for g in scene.groups), \
+        "scene must exercise the kernel pack path"
+    cam = dc.replace(loaded.cameras[0], nx=24, ny=24, num_samples=1, grid=1)
+    rays = primary_rays(cam)
+    n = rays.o.shape[0]
+    bg = jnp.broadcast_to(jnp.asarray(scene.background), (n, 3))
+    key = jax.random.PRNGKey(0)
+    iters = whitted.forward_iteration_count(scene, rays, bg, key) + 1
+    v0 = jnp.asarray(scene.vertices)
+
+    img0 = whitted.render_rays(scene, rays, bg, key, max_iters=iters)
+    target = 0.9 * img0
+
+    def loss_of(verts):
+        sc = dc.replace(scene, vertices=verts)
+        img = whitted.render_rays(sc, rays, bg, key, max_iters=iters)
+        return jnp.mean((img - target) ** 2)
+
+    # kernel path (default on TPU)
+    os.environ["RT795_PALLAS"] = "1"
+    g_kernel = np.asarray(jax.jit(jax.grad(loss_of))(v0))
+    # jnp-oracle path: same chip, kernel disabled; separate closure so the
+    # jit cache cannot reuse the kernel-path trace
+    os.environ["RT795_PALLAS"] = "0"
+    try:
+        g_oracle = np.asarray(jax.jit(
+            jax.grad(lambda v: loss_of(v) * 1.0))(v0))
+    finally:
+        os.environ.pop("RT795_PALLAS", None)
+
+    assert np.isfinite(g_kernel).all() and np.isfinite(g_oracle).all()
+    assert np.abs(g_kernel).max() > 0, "vertex gradient identically zero"
+    scale = np.abs(g_oracle).max() + 1e-12
+    np.testing.assert_allclose(g_kernel, g_oracle, rtol=2e-3,
+                               atol=2e-3 * scale)
+
+    # SGD on vertices through the kernel path must descend
+    grad_jit = jax.jit(jax.grad(loss_of))
+    loss_jit = jax.jit(loss_of)
+    v = v0
+    losses = []
+    for _ in range(3):
+        losses.append(float(loss_jit(v)))
+        v = v - 2e-4 * grad_jit(v)
+    assert np.isfinite(np.asarray(v)).all()
+    assert float(loss_jit(v)) < losses[0], losses
+
+
+@tpu_only
 def test_normal_bump_texture_grad_fd():
     """Gradient of the rendered image w.r.t. a BUMP texture's texels,
     validated by central finite differences ON THE CHIP.
