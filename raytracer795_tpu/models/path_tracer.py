@@ -257,6 +257,18 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
     # per-bounce [N]-lane argsort+gathers are pure overhead; on the
     # kernel path dead blocks already early-exit at the root for ~free.
     # Verdict: documented and NOT adopted (default off).
+    #
+    # DIRECTION-OCTANT SORT (the remaining SURVEY Phase-3 mitigation,
+    # measured round 5 on the rock100k secondary/shadow wavefronts,
+    # kernel-only device time with the permutation precomputed for free):
+    # per-block octant sort of the mirror-reflection nearest wavefront
+    # 72.0 -> 62.5 ms (1.15x), global octant sort 69.4 ms (1.04x), shadow
+    # anyhit 105.1 -> 105.7 ms (1.00x) — all below the 1.2x adoption bar
+    # BEFORE paying the in-graph argsort + ~13 lane gathers + scatter-back
+    # that sank the compaction experiment above. The tile swizzle already
+    # gives bounce rays origin coherence; direction coherence adds little
+    # because the packet kernel's cost is the block's node-set union,
+    # which origin locality alone keeps tight. NOT adopted.
     compact = os.environ.get("RT795_PT_COMPACT") == "1"
 
     def bounce(i, s: _PTState) -> _PTState:
@@ -297,9 +309,14 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
         is_conductor = hit_valid & (mtype == T.MAT_CONDUCTOR)
         is_dielectric = hit_valid & (mtype == T.MAT_DIELECTRIC)
 
-        # net (survivor-weighted) ray accounting
-        net = (s.net + jnp.sum(s.active.astype(jnp.int32))
-               + n_shadow_lights * jnp.sum(is_diffuse.astype(jnp.int32)))
+        # net (survivor-weighted) ray accounting — statically gated, the
+        # timed render path (with_stats=False) compiles without the
+        # per-bounce cross-lane reductions (see whitted.py)
+        if with_stats:
+            net = (s.net + jnp.sum(s.active.astype(jnp.int32))
+                   + n_shadow_lights * jnp.sum(is_diffuse.astype(jnp.int32)))
+        else:
+            net = s.net
 
         # ---- NEE + classic lights at diffuse vertices ----
         sp = ShadePoint(point=det.point, normal=normal, wo=-s.d, mat=mat_idx,

@@ -185,7 +185,7 @@ def render_rays(scene: T.Scene, rays: intersect.Rays,
     bench) and ignores ``max_iters``.
     """
     final = _render_machine(scene, rays, bg_radiance, key, differentiable,
-                            max_iters)
+                            max_iters, with_stats)
     if with_stats:
         return final.radiance.to_array(), final.net
     return final.radiance.to_array()
@@ -217,7 +217,8 @@ def _iter_count_jit(scene, rays, bg_radiance, key):
 
 def _render_machine(scene: T.Scene, rays: intersect.Rays,
                     bg_radiance, key: jax.Array,
-                    differentiable: bool, max_iters: int | None) -> _State:
+                    differentiable: bool, max_iters: int | None,
+                    with_stats: bool = False) -> _State:
     # host (numpy) scene leaves cannot be indexed by traced lane ids
     scene = jax.tree_util.tree_map(jnp.asarray, scene)
     if not isinstance(bg_radiance, Vec3):
@@ -335,9 +336,15 @@ def _render_machine(scene: T.Scene, rays: intersect.Rays,
         emits = as_normal | as_mirror | as_conductor | (as_dielectric & entering)
 
         # net (survivor-weighted) ray accounting: 1 extension ray per
-        # ACTIVE lane + 1 shadow ray per shaded lane per shadow light
-        net = (s.net + jnp.sum(active.astype(jnp.int32))
-               + n_shadow_lights * jnp.sum(emits.astype(jnp.int32)))
+        # ACTIVE lane + 1 shadow ray per shaded lane per shadow light.
+        # STATICALLY gated: the per-iteration cross-lane reductions cost
+        # ~25% frame time on the rock100k bench, so the timed render path
+        # (with_stats=False) compiles without them.
+        if with_stats:
+            net = (s.net + jnp.sum(active.astype(jnp.int32))
+                   + n_shadow_lights * jnp.sum(emits.astype(jnp.int32)))
+        else:
+            net = s.net
 
         sp_point = ShadePoint(
             point=det.point, normal=normal, wo=-d, mat=mat_idx,

