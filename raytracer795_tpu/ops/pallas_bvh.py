@@ -71,6 +71,15 @@ NODE_STRIDE = 64
 # tile-swizzled block unions are tight enough that visited rows almost
 # always have a live lane, so the gate only adds overhead.
 BLOCK_ROWS = int(os.environ.get("RT795_BLOCK_ROWS", "0")) or 64
+# The MULTIPACK kernels prefer a smaller block: with TLAS culling the
+# per-block pack list shrinks as blocks get tighter (16 rows cull to fewer
+# packs AND tighter node unions than 64), and the old cost of more blocks —
+# re-streaming every pack per block — is gone because culled packs never
+# DMA. Measured on rock1800k primaries/shadows: 101/253 ms at 16 rows vs
+# 170/387 at 64, with 8 and 32 both worse (129/319, 120/283). Single-pack
+# kernels keep BLOCK_ROWS=64 (no pack list to tighten; 64 amortizes the
+# scalar node walk best there). RT795_MULTI_BLOCK_ROWS overrides.
+MULTI_BLOCK_ROWS = int(os.environ.get("RT795_MULTI_BLOCK_ROWS", "0")) or 16
 LANES = 128
 BLOCK = BLOCK_ROWS * LANES
 _BIG = 3.0e38   # plain float: a jnp scalar would be a captured kernel const
@@ -430,9 +439,9 @@ def _anyhit_kernel(max_leaf_rows, n_nodes,
 # Host wrappers
 # --------------------------------------------------------------------------
 
-def _pad_block(x, fill):
+def _pad_block(x, fill, rows: int = BLOCK_ROWS):
     n = x.shape[0]
-    pad = (-n) % BLOCK
+    pad = (-n) % (rows * LANES)
     if pad:
         x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
     return x.reshape(-1, LANES), n
@@ -721,7 +730,7 @@ def _full_pack_lists(n_blocks: int, K: int):
     return pack_list, jnp.full((n_blocks,), K, jnp.int32)
 
 
-def _nearest_multi_kernel(max_leaf_rows,
+def _nearest_multi_kernel(max_leaf_rows, block_rows,
                           pl_ref, pc_ref, nn_ref,
                           eps_ref, ox_ref, oy_ref, oz_ref,
                           dx_ref, dy_ref, dz_ref, nodes_ref, tris_ref,
@@ -741,9 +750,9 @@ def _nearest_multi_kernel(max_leaf_rows,
 
     @pl.when(k == 0)
     def _():
-        key_ref[:] = jnp.full((BLOCK_ROWS, LANES), _BIG)
-        t_ref[:] = jnp.zeros((BLOCK_ROWS, LANES), jnp.float32)
-        idx_ref[:] = jnp.zeros((BLOCK_ROWS, LANES), jnp.int32)
+        key_ref[:] = jnp.full((block_rows, LANES), _BIG)
+        t_ref[:] = jnp.zeros((block_rows, LANES), jnp.float32)
+        idx_ref[:] = jnp.zeros((block_rows, LANES), jnp.int32)
 
     def body(state):
         node, hm = state
@@ -783,10 +792,10 @@ def _nearest_multi_kernel(max_leaf_rows,
 
     jax.lax.while_loop(lambda s: s[0] < n_nodes, body,
                        (jnp.int32(0),
-                        jnp.zeros((BLOCK_ROWS, LANES), jnp.int32)))
+                        jnp.zeros((block_rows, LANES), jnp.int32)))
 
 
-def _anyhit_multi_kernel(max_leaf_rows,
+def _anyhit_multi_kernel(max_leaf_rows, block_rows,
                          pl_ref, pc_ref, nn_ref,
                          eps_ref, ox_ref, oy_ref, oz_ref,
                          dx_ref, dy_ref, dz_ref, cap_ref,
@@ -805,7 +814,7 @@ def _anyhit_multi_kernel(max_leaf_rows,
 
     @pl.when(k == 0)
     def _():
-        found_ref[:] = jnp.zeros((BLOCK_ROWS, LANES), jnp.int32)
+        found_ref[:] = jnp.zeros((block_rows, LANES), jnp.int32)
 
     def body(state):
         node, hm = state
@@ -839,17 +848,17 @@ def _anyhit_multi_kernel(max_leaf_rows,
 
     jax.lax.while_loop(lambda s: s[0] < n_nodes, body,
                        (jnp.int32(0),
-                        jnp.zeros((BLOCK_ROWS, LANES), jnp.int32)))
+                        jnp.zeros((block_rows, LANES), jnp.int32)))
 
 
-def _multi_grid_spec(n_blocks, K, NR, TR, n_ray_ins):
+def _multi_grid_spec(n_blocks, K, NR, TR, n_ray_ins, block_rows):
     """PrefetchScalarGridSpec for the multipack kernels: scalars are
     (pack_list, pack_count, n_nodes); the node/tri table index maps read
     pack_list[i, k], so culled packs never DMA and repeats are free."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    rblock = pl.BlockSpec((BLOCK_ROWS, LANES),
+    rblock = pl.BlockSpec((block_rows, LANES),
                           lambda i, k, pl_, pc_, nn_: (i, 0),
                           memory_space=pltpu.VMEM)
     nblock = pl.BlockSpec((1, NR, LANES),
@@ -873,10 +882,11 @@ def _nearest_multi_call(o, d, node_rows, tri_rows, n_nodes, root_bbox,
                         int_eps, max_leaf_rows: int, interpret: bool):
     import jax.experimental.pallas as pl
 
-    (ox, n), (oy, _), (oz, _) = (_pad_block(c, jnp.nan) for c in o)
-    (dx, _), (dy, _), (dz, _) = (_pad_block(c, jnp.nan) for c in d)
+    BR = MULTI_BLOCK_ROWS
+    (ox, n), (oy, _), (oz, _) = (_pad_block(c, jnp.nan, BR) for c in o)
+    (dx, _), (dy, _), (dz, _) = (_pad_block(c, jnp.nan, BR) for c in d)
     n_rows_total = ox.shape[0]
-    n_blocks = n_rows_total // BLOCK_ROWS
+    n_blocks = n_rows_total // BR
     K, NR = node_rows.shape[0], node_rows.shape[1]
     TR = tri_rows.shape[1]
     eps = jnp.asarray(int_eps, jnp.float32).reshape(1)
@@ -886,7 +896,7 @@ def _nearest_multi_call(o, d, node_rows, tri_rows, n_nodes, root_bbox,
         pack_list, pack_count = _block_pack_lists(
             (ox, oy, oz, dx, dy, dz), root_bbox, n_blocks)
 
-    kernel = functools.partial(_nearest_multi_kernel, max_leaf_rows)
+    kernel = functools.partial(_nearest_multi_kernel, max_leaf_rows, BR)
     out_shape = [
         jax.ShapeDtypeStruct((n_rows_total, LANES), jnp.float32),
         jax.ShapeDtypeStruct((n_rows_total, LANES), jnp.float32),
@@ -894,7 +904,7 @@ def _nearest_multi_call(o, d, node_rows, tri_rows, n_nodes, root_bbox,
     ]
     key, t, idx = pl.pallas_call(
         kernel,
-        grid_spec=_multi_grid_spec(n_blocks, K, NR, TR, 6),
+        grid_spec=_multi_grid_spec(n_blocks, K, NR, TR, 6, BR),
         out_shape=out_shape,
         interpret=interpret,
     )(pack_list, pack_count, n_nodes,
@@ -908,11 +918,12 @@ def _anyhit_multi_call(o, d, t_cap, node_rows, tri_rows, n_nodes, root_bbox,
                        int_eps, max_leaf_rows: int, interpret: bool):
     import jax.experimental.pallas as pl
 
-    (ox, n), (oy, _), (oz, _) = (_pad_block(c, jnp.nan) for c in o)
-    (dx, _), (dy, _), (dz, _) = (_pad_block(c, jnp.nan) for c in d)
-    cap, _ = _pad_block(t_cap, 0.0)
+    BR = MULTI_BLOCK_ROWS
+    (ox, n), (oy, _), (oz, _) = (_pad_block(c, jnp.nan, BR) for c in o)
+    (dx, _), (dy, _), (dz, _) = (_pad_block(c, jnp.nan, BR) for c in d)
+    cap, _ = _pad_block(t_cap, 0.0, BR)
     n_rows_total = ox.shape[0]
-    n_blocks = n_rows_total // BLOCK_ROWS
+    n_blocks = n_rows_total // BR
     K, NR = node_rows.shape[0], node_rows.shape[1]
     TR = tri_rows.shape[1]
     eps = jnp.asarray(int_eps, jnp.float32).reshape(1)
@@ -922,10 +933,10 @@ def _anyhit_multi_call(o, d, t_cap, node_rows, tri_rows, n_nodes, root_bbox,
         pack_list, pack_count = _block_pack_lists(
             (ox, oy, oz, dx, dy, dz), root_bbox, n_blocks)
 
-    kernel = functools.partial(_anyhit_multi_kernel, max_leaf_rows)
+    kernel = functools.partial(_anyhit_multi_kernel, max_leaf_rows, BR)
     found = pl.pallas_call(
         kernel,
-        grid_spec=_multi_grid_spec(n_blocks, K, NR, TR, 7),
+        grid_spec=_multi_grid_spec(n_blocks, K, NR, TR, 7, BR),
         out_shape=jax.ShapeDtypeStruct((n_rows_total, LANES), jnp.int32),
         interpret=interpret,
     )(pack_list, pack_count, n_nodes,

@@ -3,8 +3,9 @@
 Reproduces the parse pipeline of src/Parser.h:16-1316 (defaults, 1-based
 index conventions, the carried-over TextureMap parser state, the
 ``textureOffset - vertexOffset`` mesh quirk, PLY loading with quad split) and
-produces the SoA pytree of scene/types.py. Everything here is host-side
-numpy; the result is handed to jit as arrays.
+produces the SoA pytree of scene/types.py. Parsing and BVH builds are
+host-side numpy; the finished scene's array leaves are uploaded to the
+default device once at the end of load_scene (see the note there).
 """
 
 from __future__ import annotations
@@ -839,4 +840,16 @@ def load_scene(xml_path: str,
         n_textures=len(textures),
         texture_statics=tuple((t.decal, t.interp, t.ttype, t.nc) for t in textures),
     )
+    # Upload every array leaf to the default device ONCE. Host numpy leaves
+    # would otherwise re-transfer on EVERY jitted render call (jit treats a
+    # numpy arg as fresh data each time): at dragon scale that is ~96 MB of
+    # geometry tables per launch — measured ~1.5 s/frame on this box's
+    # tunneled chip, dwarfing the 0.7 s of actual device compute.
+    # jnp.asarray yields UNCOMMITTED default-device arrays, so shard_map /
+    # pjit meshes and the CPU-pinned test suite can still place them freely.
+    import jax
+    import jax.numpy as jnp
+
+    scene = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, scene)
     return T.LoadedScene(scene=scene, cameras=cameras, path=xml_path)
