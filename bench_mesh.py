@@ -65,11 +65,13 @@ def bench_scene(xml_name: str, label: str, res: int, spp: int,
     # per depth level: 1 nearest wavefront + one any-hit per light
     rays_per_frame = lanes * scene.max_depth * (1 + n_lights)
 
-    img = render_mod.render_camera(loaded, 0, seed=0, spp=spp)   # compile
+    img = render_mod.render_camera(loaded, 0, seed=0, spp=spp,
+                                   ldr=True)   # compile
     best = float("inf")
     for i in range(6):
         t0 = time.perf_counter()
-        img = render_mod.render_camera(loaded, 0, seed=i + 1, spp=spp)
+        img = render_mod.render_camera(loaded, 0, seed=i + 1, spp=spp,
+                                       ldr=True)
         best = min(best, time.perf_counter() - t0)
     render_mod.MAX_LANES = old_lanes
 

@@ -32,7 +32,9 @@ from raytracer795_tpu.scene import types as T
 # traversal kernel (ops/pallas_bvh.py); the jnp fallback unrolls the same
 # block. Shallow-and-wide suits the vector units: a leaf visit is a fixed
 # run of full-width tests, and halving tree depth halves the scalar walk.
-LEAF_SIZE = 36
+import os as _os
+
+LEAF_SIZE = int(_os.environ.get("RT795_LEAF_SIZE", "0")) or 36
 MAX_DEPTH = 30  # reference depth cap (src/BVH.cpp:42,55)
 
 

@@ -568,6 +568,14 @@ def tri_bvh_anyhit(pack: BVHPack, local_o, local_d, t_cap, int_eps,
 # `entry > best` prune kill occluded packs at their root.
 
 PACK_TRIS = int(os.environ.get("RT795_PACK_TRIS", "0")) or 63 * 1024
+# Multipack pack builds use FATTER leaves than the default 36: the packet
+# walk is latency-bound on sequential node steps (each step's vector work
+# is far below VPU saturation at 16-row blocks), so halving the node count
+# for 2x the per-leaf triangle rows is a straight win — measured on
+# rock1800k: nearest 101 -> 90 ms, shadow anyhit 253 -> 215 ms (leaf 108
+# is flat vs 72). Single-pack builds and the jnp oracle keep 36 (the
+# oracle's per-leaf gather loop unrolls K and pays linearly on CPU).
+PACK_LEAF = int(os.environ.get("RT795_PACK_LEAF", "0")) or 72
 
 
 @T._dataclass_pytree(meta=("max_leaf",))
@@ -628,7 +636,7 @@ def build_multipack(verts: np.ndarray, tri_vidx: np.ndarray, build_fn,
 
     def build_one(ids):
         pbmin, pbmax = bvh_mod.tri_bounds(verts, tri_vidx[ids])
-        return build_fn(pbmin, pbmax)
+        return build_fn(pbmin, pbmax, leaf_size=PACK_LEAF)
 
     # the native nth_element builder releases the GIL during the C call,
     # so pack builds overlap (1.8M-triangle load: ~17 s -> ~10 s here)

@@ -149,6 +149,24 @@ def _render_sample_range(scene: T.Scene, cam, key, base, count: int,
 
 
 @functools.partial(jax.jit, static_argnums=(1, 4))
+def _render_single_ldr(scene: T.Scene, cam, key, row0, n_rows: int):
+    """_render_single + device-side LDR quantization (clamp 255, trunc u8 —
+    (unsigned char) cast semantics, src/Image.cpp:64-69). For .png/.ppm
+    outputs the film leaves the chip as 3 bytes/pixel instead of 12: this
+    box's fresh-array D2H path runs ~12-25 MB/s, so the f32 film transfer
+    (~0.3-0.6 s at 800x800) rivaled the whole device render time. Bitwise
+    equal to to_ldr(host float path): the radiance program is identical,
+    the clip/convert are the same IEEE f32 ops."""
+    img = _render_single(scene, cam, key, row0, n_rows)
+    return jnp.clip(img, 0.0, 255.0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _quantize_mean(acc, total: float):
+    return jnp.clip(acc / jnp.float32(total), 0.0, 255.0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 4))
 def _net_single(scene: T.Scene, cam, key, row0, n_rows: int):
     """Net-ray count of the 1-spp band (same rays as _render_single)."""
     px, py = _band_px_py(cam, row0, n_rows)
@@ -295,8 +313,15 @@ def render_camera(loaded: T.LoadedScene, cam_index: int = 0,
                   seed: int = 0, spp: int | None = None,
                   checkpoint: FilmCheckpoint | None = None,
                   _abort_after_saves: int | None = None,
-                  _launchers=None) -> np.ndarray:
+                  _launchers=None, ldr: bool = False) -> np.ndarray:
     """Render one camera to a [ny, nx, 3] float32 raw-radiance image.
+
+    ``ldr=True`` (only honored without checkpointing/custom launchers)
+    quantizes each band to LDR uint8 ON DEVICE before the host transfer —
+    bitwise what to_ldr() of the float film produces, at a quarter of the
+    film transfer bytes (see _render_single_ldr). Used by the CLI and the
+    benches for .png/.ppm outputs with no tonemap; EXR/HDR outputs and
+    checkpointed renders keep the raw float path.
 
     ``checkpoint`` enables periodic film checkpointing + resume (see
     FilmCheckpoint). ``_abort_after_saves`` is a test hook simulating a
@@ -317,6 +342,9 @@ def render_camera(loaded: T.LoadedScene, cam_index: int = 0,
     fcam = _HashableCamera(cam)
     launch_single, launch_range = _launchers or (_render_single,
                                                  _render_sample_range)
+    ldr = ldr and checkpoint is None and _launchers is None
+    if ldr:
+        launch_single = _render_single_ldr
 
     # Row-band tiling keeps every launch under the lane budget even when a
     # single 1-spp frame exceeds it (e.g. 1600x1600); the band height is
@@ -331,9 +359,9 @@ def render_camera(loaded: T.LoadedScene, cam_index: int = 0,
 
     def unswz(rows, out):
         """Lane-ordered [rows*nx, 3] device output -> [rows, nx, 3] film."""
-        flat = np.empty((rows * cam.nx, 3), np.float32)
-        flat[camera_model.band_unswizzle_index(cam.nx, rows)] = \
-            np.asarray(out)
+        out = np.asarray(out)
+        flat = np.empty((rows * cam.nx, 3), out.dtype)
+        flat[camera_model.band_unswizzle_index(cam.nx, rows)] = out
         return flat.reshape(rows, cam.nx, 3)
 
     if cam.num_samples <= 1:
@@ -345,7 +373,8 @@ def render_camera(loaded: T.LoadedScene, cam_index: int = 0,
         # r4 verdict's weak #5: this path used to ignore --checkpoint-dir).
         # Band results are independent, so resume-from-band-k is bit-equal
         # to the uninterrupted render by construction.
-        film = np.zeros((cam.ny, cam.nx, 3), np.float32)
+        film = np.zeros((cam.ny, cam.nx, 3),
+                        np.uint8 if ldr else np.float32)
         counts = np.zeros((cam.ny, cam.nx), np.int64)
         start_row = 0
         n_saves = 0
@@ -425,10 +454,18 @@ def render_camera(loaded: T.LoadedScene, cam_index: int = 0,
                             "render aborted by test hook")
         counts[sl] = done
         if checkpoint is None:
-            _host_async(acc)
-            pending.append((sl, rows, acc))
+            # LDR: divide+quantize on device so only u8 crosses to host
+            # (identical f32 mean math to the float return below)
+            out = _quantize_mean(acc, float(total)) if ldr else acc
+            _host_async(out)
+            pending.append((sl, rows, out))
         else:
             film_sum[sl] = unswz(rows, acc)
+    if ldr:
+        film = np.empty((cam.ny, cam.nx, 3), np.uint8)
+        for sl, rows, out in pending:
+            film[sl] = unswz(rows, out)
+        return film
     for sl, rows, acc in pending:
         film_sum[sl] = unswz(rows, acc)
     if checkpoint is not None:
@@ -526,11 +563,17 @@ def render_scene(loaded: T.LoadedScene, out_dir: str = ".",
             ckpt = FilmCheckpoint(
                 os.path.join(checkpoint_dir, f"{cam.image_name}.ckpt.npz"),
                 every_s=checkpoint_every_s)
+        lower = cam.image_name.lower()
+        # LDR-on-device fast path: .png/.ppm with no tonemap quantizes on
+        # chip and transfers u8 (a quarter of the film bytes; bitwise the
+        # same final image). EXR/tonemapped outputs need the raw radiance.
+        ldr = (ckpt is None and cam.tonemap is None
+               and (".png" in lower or ".ppm" in lower))
         t0 = _time.time()
-        img = render_camera(loaded, i, seed=seed, spp=spp, checkpoint=ckpt)
+        img = render_camera(loaded, i, seed=seed, spp=spp, checkpoint=ckpt,
+                            ldr=ldr)
         dt = _time.time() - t0
         path = os.path.join(out_dir, cam.image_name)
-        lower = cam.image_name.lower()
         if cam.tonemap is not None and (".png" in lower or ".ppm" in lower):
             from raytracer795_tpu.utils.tonemap import reinhard_global
 

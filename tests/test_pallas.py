@@ -15,6 +15,20 @@ import pytest
 import conftest
 
 
+@pytest.fixture(autouse=True)
+def _cpu_pack_leaf(monkeypatch):
+    """Interpret-mode kernel cost scales with the statically unrolled
+    leaf-row count, so the CPU parity runs pin the multipack leaf back to
+    36 (PACK_LEAF defaults to 72 for on-chip throughput). Parity here
+    proves traversal/ordering semantics at a given leaf size; the shipped
+    leaf-72 tables are proven by the on-chip rock1800k golden
+    (tests/test_tpu.py)."""
+    if not conftest.TPU_TESTS:
+        from raytracer795_tpu.ops import pallas_bvh
+
+        monkeypatch.setattr(pallas_bvh, "PACK_LEAF", 36)
+
+
 def _random_mesh(t, seed):
     rng = np.random.default_rng(seed)
     verts = rng.normal(size=(t * 3, 3)).astype(np.float32)

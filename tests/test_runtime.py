@@ -113,3 +113,39 @@ class TestTonemap:
         # raw envlight radiance blows past 255 everywhere the sun reflects;
         # the tonemapped image must be in range and non-degenerate
         assert out.max() <= 255 and out.std() > 1.0
+
+class TestLdrDevicePath:
+    """ldr=True quantizes on device (u8 transfer); must be bitwise what
+    to_ldr() of the float film produces — same radiance program, same
+    clip/convert semantics ((unsigned char) cast, src/Image.cpp:64-69)."""
+
+    def test_ldr_equals_float_1spp_banded(self, monkeypatch):
+        import dataclasses
+
+        from raytracer795_tpu import render as render_mod
+        from raytracer795_tpu.utils.image_io import to_ldr
+
+        loaded = load("cornellbox")
+        loaded.cameras[0] = dataclasses.replace(
+            loaded.cameras[0], nx=32, ny=32)
+        # force 2 row bands so the banded 1-spp LDR path runs too
+        monkeypatch.setattr(render_mod, "MAX_LANES", 32 * 16)
+        f = render_mod.render_camera(loaded, 0, seed=1, spp=1)
+        u = render_mod.render_camera(loaded, 0, seed=1, spp=1, ldr=True)
+        assert u.dtype == np.uint8
+        np.testing.assert_array_equal(u, to_ldr(f))
+
+    def test_ldr_equals_float_multisample(self, monkeypatch):
+        import dataclasses
+
+        from raytracer795_tpu import render as render_mod
+        from raytracer795_tpu.utils.image_io import to_ldr
+
+        loaded = load("cornellbox")
+        loaded.cameras[0] = dataclasses.replace(
+            loaded.cameras[0], nx=32, ny=32)
+        monkeypatch.setattr(render_mod, "MAX_LANES", 32 * 16 * 2)
+        f = render_mod.render_camera(loaded, 0, seed=2, spp=4)
+        u = render_mod.render_camera(loaded, 0, seed=2, spp=4, ldr=True)
+        assert u.dtype == np.uint8
+        np.testing.assert_array_equal(u, to_ldr(f))
