@@ -251,7 +251,17 @@ def build_pack(flat: T.FlatBVH, verts: np.ndarray, tri_vidx: np.ndarray,
 
 def _slab(ox, oy, oz, dx, dy, dz, ix, iy, iz, bmin, bmax):
     """Reference slab test (src/BVH.cpp:212-266) of one scalar box against
-    the whole ray block; d == 0 lanes reject via inf/NaN (quirk kept)."""
+    the whole ray block; d == 0 lanes reject via inf/NaN (quirk kept).
+
+    Returns (box_hit, entry, exit). box_hit is a LINE test (a box fully
+    behind the origin still hits: entry <= exit < 0) — exactly the
+    reference's semantics. The kernels' ``live`` masks additionally reject
+    definitively-behind boxes (``exit < -eps`` for nearest, ``exit <= 0``
+    for any-hit) as a pure optimization: every triangle inside such a box
+    intersects the ray at t < -eps (resp. t <= 0) and fails the triangle
+    test's t bound anyway, so culling the subtree cannot change any hit.
+    Those rejections are written NaN-safely (``~(exit < c)``) so the d == 0
+    inf/NaN lanes keep their exact oracle behavior."""
     entry = jnp.full_like(ox, -jnp.inf)
     exit_ = jnp.full_like(ox, jnp.inf)
     for o, d, inv, k in ((ox, dx, ix, 0), (oy, dy, iy, 1), (oz, dz, iz, 2)):
@@ -261,7 +271,7 @@ def _slab(ox, oy, oz, dx, dy, dz, ix, iy, iz, bmin, bmax):
         t_l = jnp.where(pos, (hi - o) * inv, (lo - o) * inv)
         entry = jnp.maximum(entry, t_e)
         exit_ = jnp.minimum(exit_, t_l)
-    return ~(exit_ < entry), entry
+    return ~(exit_ < entry), entry, exit_
 
 
 def _tri_block_test(row, j, ox, oy, oz, dx, dy, dz, int_eps):
@@ -340,7 +350,8 @@ def _nearest_kernel(max_leaf_rows, n_nodes,
         node, hm = state
         bmin, bmax, first_row, n_rows, miss, dd = _read_node(nodes_ref, node)
 
-        box_hit, entry = _slab(ox, oy, oz, dx, dy, dz, ix, iy, iz, bmin, bmax)
+        box_hit, entry, exit_ = _slab(ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                                      bmin, bmax)
         # per-lane ancestor validity (bit d of hm = lane hit the depth-d
         # node of the current DFS path): a lane only stays live where it
         # hit EVERY ancestor, exactly like the per-lane oracle walk. This
@@ -351,7 +362,11 @@ def _nearest_kernel(max_leaf_rows, n_nodes,
         anc_ok = (hm & anc_mask) == anc_mask
         bit = jnp.int32(1) << dd
         hm = jnp.where(box_hit, hm | bit, hm & ~bit)
-        live = (box_hit & anc_ok & ~(entry > key_ref[:]) & alive)
+        # ~(exit < -eps): cull definitively-behind boxes (line-test quirk
+        # walks them otherwise; their triangles all fail t >= -eps) — see
+        # _slab. NaN-safe so d == 0 quirk lanes stay on the oracle path.
+        live = (box_hit & ~(exit_ < -int_eps) & anc_ok
+                & ~(entry > key_ref[:]) & alive)
         any_live = jnp.any(live)
         is_leaf = n_rows > 0
 
@@ -402,13 +417,16 @@ def _anyhit_kernel(max_leaf_rows, n_nodes,
         node, hm = state
         bmin, bmax, first_row, n_rows, miss, dd = _read_node(nodes_ref, node)
 
-        box_hit, entry = _slab(ox, oy, oz, dx, dy, dz, ix, iy, iz, bmin, bmax)
+        box_hit, entry, exit_ = _slab(ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                                      bmin, bmax)
         anc_mask = (jnp.int32(1) << dd) - 1
         anc_ok = (hm & anc_mask) == anc_mask
         bit = jnp.int32(1) << dd
         hm = jnp.where(box_hit, hm | bit, hm & ~bit)
-        live = (box_hit & anc_ok & ~(entry > t_cap) & alive
-                & (found_ref[:] == 0))
+        # ~(exit <= 0): any-hit accepts only t > 0, so boxes fully behind
+        # (or ending at) the origin cannot contain an occluder — see _slab
+        live = (box_hit & ~(exit_ <= 0.0) & anc_ok & ~(entry > t_cap)
+                & alive & (found_ref[:] == 0))
         any_live = jnp.any(live)
         is_leaf = n_rows > 0
 
@@ -686,13 +704,16 @@ def build_multipack(verts: np.ndarray, tri_vidx: np.ndarray, build_fn,
     return mp, perm, tuple(flats)
 
 
-def _block_pack_lists(comps, root_bbox, n_blocks: int):
+def _block_pack_lists(comps, root_bbox, n_blocks: int, int_eps,
+                      caps=None):
     """TLAS pass: per-ray-block culled, front-to-back pack lists.
 
     ``comps`` = (ox, oy, oz, dx, dy, dz) in padded block layout
-    [n_rows, 128]. For every (block, pack) pair this runs EXACTLY the slab
-    test the traversal kernel would run at that pack's root (same _slab
-    math, d == 0 quirk included), so culling a pack only skips work the
+    [n_rows, 128]. For every (block, pack) pair this runs EXACTLY the root
+    ``live`` test the traversal kernel would run at that pack's root (same
+    _slab math, d == 0 quirk included, behind-box cull, and — via ``caps``,
+    the per-lane any-hit t_cap in the same padded layout — the kernel's
+    ``entry > t_cap`` rejection), so culling a pack only skips work the
     kernel would reject in its first node step — plus the whole table DMA.
     Returns (pack_list [n_blocks, K] int32 — root-hit packs first, sorted
     by min entry distance over the block's live lanes, then the remaining
@@ -704,14 +725,19 @@ def _block_pack_lists(comps, root_bbox, n_blocks: int):
     nan = (jnp.isnan(ox) | jnp.isnan(oy) | jnp.isnan(oz)
            | jnp.isnan(dx) | jnp.isnan(dy) | jnp.isnan(dz))
     alive = ~(nan | ((dx == 0.0) & (dy == 0.0) & (dz == 0.0)))
+    if caps is not None:
+        caps = caps.reshape(n_blocks, -1)
     K = root_bbox.shape[0]
     hits, keys = [], []
     for k in range(K):
         bmin = (root_bbox[k, 0], root_bbox[k, 1], root_bbox[k, 2])
         bmax = (root_bbox[k, 3], root_bbox[k, 4], root_bbox[k, 5])
-        box_hit, entry = _slab(ox, oy, oz, dx, dy, dz, ix, iy, iz,
-                               bmin, bmax)
-        live = box_hit & alive
+        box_hit, entry, exit_ = _slab(ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                                      bmin, bmax)
+        if caps is None:        # nearest: kernel root rejects exit < -eps
+            live = box_hit & ~(exit_ < -int_eps) & alive
+        else:                   # any-hit: exit <= 0 or entry > t_cap
+            live = (box_hit & ~(exit_ <= 0.0) & ~(entry > caps) & alive)
         hits.append(jnp.any(live, axis=1))
         # ordering key: nearest root entry over live lanes; NaN/-inf
         # entries (d == 0 quirk / origin-inside-box) sanitize to 0 so the
@@ -765,12 +791,15 @@ def _nearest_multi_kernel(max_leaf_rows, block_rows,
     def body(state):
         node, hm = state
         bmin, bmax, first_row, n_rows, miss, dd = _read_node(nodes2, node)
-        box_hit, entry = _slab(ox, oy, oz, dx, dy, dz, ix, iy, iz, bmin, bmax)
+        box_hit, entry, exit_ = _slab(ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                                      bmin, bmax)
         anc_mask = (jnp.int32(1) << dd) - 1
         anc_ok = (hm & anc_mask) == anc_mask
         bit = jnp.int32(1) << dd
         hm = jnp.where(box_hit, hm | bit, hm & ~bit)
-        live = (box_hit & anc_ok & ~(entry > key_ref[:]) & alive)
+        # behind-box cull (see _slab): NaN-safe, result-preserving
+        live = (box_hit & ~(exit_ < -int_eps) & anc_ok
+                & ~(entry > key_ref[:]) & alive)
         any_live = jnp.any(live)
         is_leaf = n_rows > 0
 
@@ -827,13 +856,15 @@ def _anyhit_multi_kernel(max_leaf_rows, block_rows,
     def body(state):
         node, hm = state
         bmin, bmax, first_row, n_rows, miss, dd = _read_node(nodes2, node)
-        box_hit, entry = _slab(ox, oy, oz, dx, dy, dz, ix, iy, iz, bmin, bmax)
+        box_hit, entry, exit_ = _slab(ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                                      bmin, bmax)
         anc_mask = (jnp.int32(1) << dd) - 1
         anc_ok = (hm & anc_mask) == anc_mask
         bit = jnp.int32(1) << dd
         hm = jnp.where(box_hit, hm | bit, hm & ~bit)
-        live = (box_hit & anc_ok & ~(entry > t_cap) & alive
-                & (found_ref[:] == 0))
+        # behind-box cull (see _slab): NaN-safe, result-preserving
+        live = (box_hit & ~(exit_ <= 0.0) & anc_ok & ~(entry > t_cap)
+                & alive & (found_ref[:] == 0))
         any_live = jnp.any(live)
         is_leaf = n_rows > 0
 
@@ -902,7 +933,7 @@ def _nearest_multi_call(o, d, node_rows, tri_rows, n_nodes, root_bbox,
         pack_list, pack_count = _full_pack_lists(n_blocks, K)
     else:
         pack_list, pack_count = _block_pack_lists(
-            (ox, oy, oz, dx, dy, dz), root_bbox, n_blocks)
+            (ox, oy, oz, dx, dy, dz), root_bbox, n_blocks, int_eps)
 
     kernel = functools.partial(_nearest_multi_kernel, max_leaf_rows, BR)
     out_shape = [
@@ -939,7 +970,8 @@ def _anyhit_multi_call(o, d, t_cap, node_rows, tri_rows, n_nodes, root_bbox,
         pack_list, pack_count = _full_pack_lists(n_blocks, K)
     else:
         pack_list, pack_count = _block_pack_lists(
-            (ox, oy, oz, dx, dy, dz), root_bbox, n_blocks)
+            (ox, oy, oz, dx, dy, dz), root_bbox, n_blocks, int_eps,
+            caps=cap)
 
     kernel = functools.partial(_anyhit_multi_kernel, max_leaf_rows, BR)
     found = pl.pallas_call(
