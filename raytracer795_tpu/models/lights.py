@@ -93,6 +93,15 @@ def _occluded(scene: T.Scene, sp: ShadePoint, direction: Vec3, d_light=None):
     t_cap = -eps*c + sqrt(eps^2*(c^2 - 1) + d_light^2), c = n.d —
     solved exactly so the any-hit reproduces the distance-compare
     semantics. ``d_light=None`` means any hit occludes (directional).
+
+    NEGATIVE RESULT (measured, not adopted): batching EVERY light's shadow
+    query of a bounce into ONE [L*N]-lane trace_anyhit launch (shared
+    origins tiled, per-light directions/caps concatenated) was bit-exact
+    but perf-flat on all three mesh benches — dragon frame 0.862 vs
+    0.856 s, rock100k 32.5 vs 32.5 M rays/s, instances_rock 5.07 vs
+    5.13 M — the per-launch fixed cost this targeted is already amortized
+    by the launch sizes render.py's MAX_LANES picks, so the per-light
+    calls stay (simpler, and the TLAS culls per-light corridors anyway).
     """
     eps = scene.shadow_eps
     # lanes with no valid shade point (misses, idle wavefront lanes) carry
