@@ -99,9 +99,11 @@ def main() -> None:
     if os.environ.get("BENCH_INSTANCES", "1") != "0":
         # 36 MeshInstances + base share one kernel pack -> batched into
         # single traversal launches (RT795_BATCH_INSTANCES=0 for the
-        # per-group-launch A/B)
-        bench_scene("instances_rock.xml", "instances_rock 37-group", 400, 1,
-                    one_launch=True)
+        # per-group-launch A/B). Same 800x800 4spp config as rock100k:
+        # at 400x400 1spp the frame is fixed launch/transfer overhead,
+        # not traversal (measured 4.8M vs 23.3M rays/s gross).
+        bench_scene("instances_rock.xml", "instances_rock 37-group", RES,
+                    SPP, one_launch=True)
     if os.environ.get("BENCH_DRAGON", "1") != "0":
         sys.path.insert(0, _SCENES)
         import make_assets
